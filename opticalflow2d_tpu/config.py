@@ -1,0 +1,203 @@
+"""Typed configuration for the registration engine.
+
+Mirrors the reference's positional MEX argument surface and per-method
+regularisation-parameter packing (reference ``WrapperOpticalFlow2d.cpp:23-83``,
+``ImageRegistrationOpticalFlow.cpp:8-12``, ``ImageRegistrationDemons.cpp:7-10``,
+``ImageRegistrationFluid.cpp:5-7``) as one frozen dataclass, plus TPU-specific
+knobs (dtype, compat switches) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+class Method(enum.IntEnum):
+    """Solver families; values match the reference's ``Regularisation`` enum
+    (``src/SolverOptions.h:4``)."""
+
+    DIFFUSION = 0
+    CURVATURE = 1
+    ELASTIC = 2
+    THIRIONS_DEMONS = 3
+    DIFFEOMORPHIC_DEMONS = 4
+    FLUID = 5
+
+
+class MotionAccumulation(enum.IntEnum):
+    """``src/SolverOptions.h:8``."""
+
+    COMPOSITION = 0
+    ADDITION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatFlags:
+    """Bug-compatibility switches for quirks in the reference (SURVEY.md §2.3).
+
+    Defaults are the *fixed* behaviors; parity tests against the C++ oracle
+    flip these on to reproduce the reference bit patterns.
+    """
+
+    # Motion::maxabs sums .y twice instead of .x^2 + .y^2
+    # (reference src/Motion.cpp:54). Affects the fluid adaptive timestep and
+    # the exp() scaling.
+    maxabs_bug: bool = False
+
+    # Field::convolute bounds-checks the *flat* index, so kernels wrap across
+    # row boundaries in x instead of being clipped (reference
+    # src/Field.tpp:245-246). Affects demons Gaussian smoothing near edges.
+    conv_flatwrap: bool = False
+
+    # Elastic/Fluid SOR y-component (mu+lambda) term reads x-direction
+    # neighbours where the symmetric Navier-Lame operator calls for
+    # y-direction ones (reference src/regularization/OpticalFlow/
+    # OpticalFlowElastic.cpp:46-49). True = reproduce the reference stencil.
+    # The reference stencil is the default because parity with the reference's
+    # converged fields is the primary contract.
+    elastic_stencil_reference: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RegConfig:
+    """Full registration configuration.
+
+    ``niter`` has ``nscales + 1`` entries; ``niter[s]`` is the iteration cap
+    at pyramid scale ``s`` (s=0 is full resolution), matching the reference
+    (``WrapperOpticalFlow2d.cpp:35-38``, ``ImageRegistration.cpp:133-156``).
+    """
+
+    method: Method
+    niter: Tuple[int, ...]
+    nscales: int = 0
+    nrefine: int = 1
+
+    # --- Variational (Diffusion/Curvature/Elastic/Fluid) parameters ---
+    # Diffusion: alpha (Horn-Schunck regularisation weight).
+    alpha: float = 1.0
+    # Curvature: alpha + time step tau (reference OpticalFlowCurvature.h:10;
+    # the second MEX regparam is named "omega" at the call site but binds to
+    # tau — SURVEY.md §2.3.11).
+    tau: float = 1.0
+    # Elastic/Fluid: Navier-Lame mu/lambda + SOR relaxation omega
+    # (reference OpticalFlowElastic.h:9, OpticalFlowFluid.h:10).
+    mu: float = 1.0
+    lam: float = 0.0
+    omega: float = 0.66
+    # Fluid adaptive-timestep cap du_max (reference OpticalFlowFluid.h:32).
+    dumax: float = 0.65
+
+    # --- Demons parameters (reference Demons.h:10-13) ---
+    sigma_i: float = 1.0
+    sigma_x: float = 0.25
+    sigma_diffusion: float = 2.0
+    sigma_fluid: float = 2.0
+    kernelwidth: int = 5
+    accumulation: MotionAccumulation = MotionAccumulation.COMPOSITION
+
+    # --- Convergence (reference ImageRegistrationOpticalFlow.cpp:130-134) ---
+    convergence_tol: float = 0.001
+    # Fluid regridding threshold on min Jacobian (ImageRegistrationFluid.cpp:108).
+    regrid_threshold: float = 0.5
+    # Fluid timestep skip threshold (OpticalFlowFluid.cpp:135-137).
+    timestep_skip: float = 65.0
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    dtype: str = "float32"
+    compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
+    # Use Pallas fused kernels for hot loops where available.
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if len(self.niter) < self.nscales + 1:
+            raise ValueError(
+                f"niter needs at least nscales+1={self.nscales + 1} entries, "
+                f"got {len(self.niter)}"
+            )
+        if self.nscales < 0:
+            raise ValueError("nscales must be >= 0")
+        if self.nrefine < 1:
+            raise ValueError("nrefine must be >= 1")
+        if self.kernelwidth < 1 or self.kernelwidth % 2 == 0:
+            raise ValueError("kernelwidth must be odd and >= 1")
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def from_regparams(
+        method: Method | int,
+        niter: Sequence[int],
+        nscales: int,
+        regparams: Sequence[float],
+        nrefine: int = 1,
+        **overrides,
+    ) -> "RegConfig":
+        """Build a config from the reference's positional regparam packing.
+
+        Validation mirrors ``valid_regularisation_parameters``:
+        Diffusion: [alpha]; Curvature: [alpha(, tau)];
+        Elastic: [mu, lambda(, omega)]; Fluid: [mu, lambda(, omega)];
+        ThirionsDemons: [sigma_i, sigma_x, sigma_diffusion, sigma_fluid,
+        kernelwidth, accumulation]; DiffeomorphicDemons: same minus
+        accumulation. (reference ImageRegistrationOpticalFlow.cpp:8-12,
+        ImageRegistrationDemons.cpp:7-10, ImageRegistrationFluid.cpp:5-7)
+        """
+        method = Method(method)
+        p = [float(v) for v in regparams]
+        n = len(p)
+        kw = dict(
+            method=method,
+            niter=tuple(int(v) for v in niter),
+            nscales=int(nscales),
+            nrefine=int(nrefine),
+        )
+        if method == Method.DIFFUSION:
+            if n != 1:
+                raise ValueError("Diffusion takes exactly 1 regparam [alpha]")
+            kw["alpha"] = p[0]
+        elif method == Method.CURVATURE:
+            if not 1 <= n <= 2:
+                raise ValueError("Curvature takes 1-2 regparams [alpha(, tau)]")
+            kw["alpha"] = p[0]
+            if n == 2:
+                kw["tau"] = p[1]
+        elif method in (Method.ELASTIC, Method.FLUID):
+            if not 2 <= n <= 3:
+                raise ValueError(
+                    f"{method.name} takes 2-3 regparams [mu, lambda(, omega)]"
+                )
+            kw["mu"], kw["lam"] = p[0], p[1]
+            if n == 3:
+                kw["omega"] = p[2]
+        elif method == Method.THIRIONS_DEMONS:
+            if n != 6:
+                raise ValueError(
+                    "ThirionsDemons takes exactly 6 regparams "
+                    "[sigma_i, sigma_x, sigma_diff, sigma_fluid, kernelwidth, accum]"
+                )
+            kw.update(
+                sigma_i=p[0], sigma_x=p[1], sigma_diffusion=p[2],
+                sigma_fluid=p[3],
+                # kernelwidth truncated from float, as the reference does
+                # (ImageRegistrationDemons.cpp:26)
+                kernelwidth=int(p[4]),
+                accumulation=MotionAccumulation(int(p[5])),
+            )
+        elif method == Method.DIFFEOMORPHIC_DEMONS:
+            if n != 5:
+                raise ValueError(
+                    "DiffeomorphicDemons takes exactly 5 regparams "
+                    "[sigma_i, sigma_x, sigma_diff, sigma_fluid, kernelwidth]"
+                )
+            kw.update(
+                sigma_i=p[0], sigma_x=p[1], sigma_diffusion=p[2],
+                sigma_fluid=p[3], kernelwidth=int(p[4]),
+            )
+        kw.update(overrides)
+        return RegConfig(**kw)

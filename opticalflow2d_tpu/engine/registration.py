@@ -1,0 +1,286 @@
+"""The registration driver: multi-resolution pyramid, refinement loops,
+convergence-gated iteration, and fluid regridding.
+
+Control flow mirrors the reference exactly (SURVEY.md §3.2):
+
+    for s = nscales .. 0:                  # coarse -> fine (Python loop;
+        motion init per the reference's      each level is a distinct static
+        down/upsample quirk                  shape under one jit)
+        for refine in range(nrefine):      # static unroll
+            warp, derive (variational/fluid: once; demons: every iteration)
+            lax.while_loop:                # iterate until niter or rel-step
+                solver step                  norm < tol after iter > 1
+                (fluid: + regrid cond)       (reference ImageRegistration-
+            compose u <- u o u_est           OpticalFlow.cpp:97-151)
+        upsample to full res
+
+The convergence monitor reproduces the reference ``Logger`` semantics
+(``src/Logger.cpp:32-58``): ``err_k = |u_k - u_{k-1}| / |u_{k-1}|`` with
+``|.|`` the mean per-pixel magnitude, ``err = 0`` when the previous norm is
+zero, early stop when ``err < 0.001`` and ``iter > 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opticalflow2d_tpu.config import Method, RegConfig
+from opticalflow2d_tpu.ops.grid import jacobian_det
+from opticalflow2d_tpu.ops.reduce import motion_norm
+from opticalflow2d_tpu.ops.resample import (
+    pyramid_dims,
+    downsample_image,
+    downsample_motion,
+    upsample_motion,
+)
+from opticalflow2d_tpu.ops.warp import warp2d, compose
+from opticalflow2d_tpu.solvers.base import Derivatives, derivatives
+from opticalflow2d_tpu.solvers.diffusion import diffusion_step
+from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+from opticalflow2d_tpu.solvers.elastic import elastic_step
+from opticalflow2d_tpu.solvers.fluid import make_fluid_step
+from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+
+class LevelTrace(NamedTuple):
+    """Convergence trace of one (level, refinement) solve — the functional
+    equivalent of the reference's ``Logger`` error array."""
+
+    scale: jnp.ndarray       # static int wrapped as array for pytree-ness
+    errors: jnp.ndarray      # [niter] relative step norms (0 past early stop)
+    iterations: jnp.ndarray  # iterations actually executed
+    regrids: jnp.ndarray     # fluid regrid count (0 for other methods)
+
+
+class RegistrationResult(NamedTuple):
+    motion: jnp.ndarray           # [2, nx, ny]
+    traces: Tuple[LevelTrace, ...]  # ordered coarse -> fine, refine-major
+
+
+def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
+    prev_norm = motion_norm(u_prev)
+    diff_norm = motion_norm(u_new - u_prev)
+    return jnp.where(prev_norm == 0, 0.0, diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
+
+
+def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
+    """Diffusion / Curvature / Elastic: derivatives once per refinement,
+    update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
+    nx, ny = iref.shape
+    if cfg.method == Method.DIFFUSION:
+        step = lambda u_est, d: diffusion_step(u_est, d, cfg.alpha)
+    elif cfg.method == Method.CURVATURE:
+        step = (lambda s: (lambda u_est, d: s(u_est, d)))(
+            make_curvature_step(nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype)
+        )
+    elif cfg.method == Method.ELASTIC:
+        step = lambda u_est, d: elastic_step(
+            u_est, d, cfg.mu, cfg.lam, cfg.omega,
+            cfg.compat.elastic_stencil_reference,
+        )
+    else:  # pragma: no cover
+        raise ValueError(cfg.method)
+
+    traces = []
+    for _refine in range(cfg.nrefine):
+        iaux = warp2d(imov, u)
+        d = derivatives(iref, iaux)
+
+        def cond(carry):
+            _, _, it, conv, _ = carry
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_est, prev, it, conv, errs = carry
+            u_new = step(u_est, d)
+            err = _rel_step_error(u_new, prev)
+            errs = errs.at[it].set(err)
+            conv = (err < cfg.convergence_tol) & (it > 1)
+            return (u_new, u_new, it + 1, conv, errs)
+
+        u0 = jnp.zeros_like(u)
+        errs0 = jnp.zeros((niter,), u.dtype)
+        carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
+        u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
+        u = compose(u, u_est)
+        traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
+    return u, traces
+
+
+def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
+    """Fluid: persistent velocity (per level, across refinements), adaptive
+    timestep, Jacobian-triggered regridding
+    (reference ImageRegistrationFluid.cpp:67-142)."""
+    step = make_fluid_step(
+        cfg.mu, cfg.lam, cfg.omega,
+        dumax=cfg.dumax,
+        timestep_skip=cfg.timestep_skip,
+        maxabs_bug=cfg.compat.maxabs_bug,
+        reference_stencil=cfg.compat.elastic_stencil_reference,
+    )
+
+    velocity = jnp.zeros_like(u)
+    traces = []
+    for _refine in range(cfg.nrefine):
+        iaux = warp2d(imov, u)
+        d = derivatives(iref, iaux)
+
+        def cond(carry):
+            it, conv = carry[-4], carry[-3]
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_tot, u_est, vel, grad_i, it_img, it, conv, errs, nregrid = carry
+            u_new, vel, _dt = step(u_est, vel, Derivatives(grad_i, it_img))
+            err = _rel_step_error(u_new, u_est)
+            errs = errs.at[it].set(err)
+            conv = (err < cfg.convergence_tol) & (it > 1)
+
+            # Regridding runs only when the convergence break did not fire
+            # (it sits after the break in the reference loop,
+            # ImageRegistrationFluid.cpp:101-124).
+            jac_min = jnp.min(jacobian_det(u_new))
+            do_regrid = ~conv & (jac_min < cfg.regrid_threshold)
+
+            def regrid(args):
+                u_tot, u_new, grad_i, it_img = args
+                u_tot2 = compose(u_tot, u_new)
+                iaux2 = warp2d(imov, u_tot2)
+                d2 = derivatives(iref, iaux2)
+                return u_tot2, jnp.zeros_like(u_new), d2.grad_i, d2.it
+
+            def no_regrid(args):
+                return args
+
+            u_tot, u_new, grad_i, it_img = lax.cond(
+                do_regrid, regrid, no_regrid, (u_tot, u_new, grad_i, it_img)
+            )
+            nregrid = nregrid + do_regrid.astype(jnp.int32)
+            return (u_tot, u_new, vel, grad_i, it_img, it + 1, conv, errs, nregrid)
+
+        u0 = jnp.zeros_like(u)
+        errs0 = jnp.zeros((niter,), u.dtype)
+        carry = (
+            u, u0, velocity, d.grad_i, d.it,
+            jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0),
+        )
+        u, u_est, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
+        u = compose(u, u_est)
+        traces.append(LevelTrace(jnp.int32(scale), errs, it, nregrid))
+    return u, traces
+
+
+def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
+    """Thirion / diffeomorphic demons: the solver re-warps and re-derives
+    every iteration (reference ImageRegistrationDemons.cpp:86-137)."""
+    step = make_demons_step(
+        cfg.sigma_i, cfg.sigma_x, cfg.sigma_diffusion, cfg.sigma_fluid,
+        cfg.kernelwidth,
+        diffeomorphic=(cfg.method == Method.DIFFEOMORPHIC_DEMONS),
+        accumulation=cfg.accumulation,
+        conv_flatwrap=cfg.compat.conv_flatwrap,
+        maxabs_bug=cfg.compat.maxabs_bug,
+    )
+
+    traces = []
+    for _refine in range(cfg.nrefine):
+        iaux = warp2d(imov, u)
+
+        def cond(carry):
+            _, _, it, conv, _ = carry
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_est, prev, it, conv, errs = carry
+            u_new = step(u_est, iref, iaux)
+            err = _rel_step_error(u_new, prev)
+            errs = errs.at[it].set(err)
+            conv = (err < cfg.convergence_tol) & (it > 1)
+            return (u_new, u_new, it + 1, conv, errs)
+
+        u0 = jnp.zeros_like(u)
+        errs0 = jnp.zeros((niter,), u.dtype)
+        carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
+        u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
+        u = compose(u, u_est)
+        traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
+    return u, traces
+
+
+def _solve_level(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
+    if cfg.method in (Method.DIFFUSION, Method.CURVATURE, Method.ELASTIC):
+        return _solve_level_variational(u, iref, imov, cfg, niter, scale)
+    if cfg.method == Method.FLUID:
+        return _solve_level_fluid(u, iref, imov, cfg, niter, scale)
+    return _solve_level_demons(u, iref, imov, cfg, niter, scale)
+
+
+def _register_impl(iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig):
+    dtype = cfg.jnp_dtype
+    iref = iref.astype(dtype)
+    imov = imov.astype(dtype)
+    dims = pyramid_dims(iref.shape, cfg.nscales)
+
+    # Each pyramid level is downsampled directly from full resolution, as the
+    # reference does on set_reference_image/set_moving_image
+    # (ImageRegistration.cpp:103-121).
+    irefs = {0: iref}
+    imovs = {0: imov}
+    for s in range(1, cfg.nscales + 1):
+        irefs[s] = downsample_image(iref, dims[s])
+        imovs[s] = downsample_image(imov, dims[s])
+
+    u_full = jnp.zeros((2,) + dims[0], dtype)
+    traces = []
+    for s in range(cfg.nscales, -1, -1):
+        if s == cfg.nscales and s > 0:
+            # Coarsest level starts from zero: the reference skips the motion
+            # downsample at s == nscales (ImageRegistration.cpp:137-139).
+            u_s = jnp.zeros((2,) + dims[s], dtype)
+        elif 0 < s < cfg.nscales:
+            u_s = downsample_motion(u_full, dims[s])
+        else:  # s == 0
+            u_s = u_full
+
+        u_s, level_traces = _solve_level(
+            u_s, irefs[s], imovs[s], cfg, int(cfg.niter[s]), s
+        )
+        traces.extend(level_traces)
+
+        if s > 0:
+            u_full = upsample_motion(u_s, dims[0])
+        else:
+            u_full = u_s
+
+    return RegistrationResult(motion=u_full, traces=tuple(traces))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_register(cfg: RegConfig):
+    return jax.jit(lambda iref, imov: _register_impl(iref, imov, cfg))
+
+
+def register(iref, imov, cfg: RegConfig) -> RegistrationResult:
+    """Estimate the motion field u with T(x + u) ~= R(x).
+
+    Args:
+      iref: reference image ``[nx, ny]``.
+      imov: moving image ``[nx, ny]``.
+      cfg: registration configuration (static; one XLA compilation per
+        distinct (cfg, shape)).
+
+    Returns:
+      ``RegistrationResult(motion=[2, nx, ny], traces=...)``.
+    """
+    iref = jnp.asarray(iref)
+    imov = jnp.asarray(imov)
+    if iref.shape != imov.shape or iref.ndim != 2:
+        raise ValueError(
+            f"iref/imov must be matching 2D images, got {iref.shape} vs {imov.shape}"
+        )
+    return _jitted_register(cfg)(iref, imov)

@@ -1,0 +1,128 @@
+// Parity-oracle CLI around the reference library (compiled in place from
+// /root/reference with the mex.h / fftw3.h shims in oracle/shim — no
+// reference sources are copied into this repo).
+//
+// Usage:
+//   oracle <iref.f64> <imov.f64> <out_motion.f64> <out_warped.f64>
+//          <nx> <ny> <nscales> <nrefine> <reg> <nparams> <p...> <niter...>
+//
+// Raw files are double arrays in the reference's flat layout (x-fastest:
+// flat[i + j*nx]); the motion output is the x-plane then the y-plane,
+// matching Motion::copy_motion_to_input (src/Motion.cpp:23-39).
+
+#include <cstdio>
+#include <cstdlib>
+#include <stdexcept>
+#include <vector>
+
+#include <src/coord2d.h>
+#include <src/Image.h>
+#include <src/Motion.h>
+#include <src/ImageRegistrationOpticalFlow.h>
+#include <src/ImageRegistrationDemons.h>
+#include <src/ImageRegistrationFluid.h>
+#include <src/SolverOptions.h>
+
+static std::vector<double> read_raw(const char* path, size_t n) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) throw std::runtime_error(std::string("cannot open ") + path);
+    std::vector<double> v(n);
+    if (std::fread(v.data(), sizeof(double), n, f) != n) {
+        std::fclose(f);
+        throw std::runtime_error(std::string("short read from ") + path);
+    }
+    std::fclose(f);
+    return v;
+}
+
+static void write_raw(const char* path, const std::vector<double>& v) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) throw std::runtime_error(std::string("cannot open ") + path);
+    std::fwrite(v.data(), sizeof(double), v.size(), f);
+    std::fclose(f);
+}
+
+int main(int argc, char** argv) {
+    if (argc < 11) {
+        std::fprintf(stderr,
+                     "usage: %s iref imov out_motion out_warped nx ny nscales "
+                     "nrefine reg nparams p... niter...\n",
+                     argv[0]);
+        return 2;
+    }
+    int a = 1;
+    const char* iref_path = argv[a++];
+    const char* imov_path = argv[a++];
+    const char* out_motion = argv[a++];
+    const char* out_warped = argv[a++];
+    const int nx = std::atoi(argv[a++]);
+    const int ny = std::atoi(argv[a++]);
+    const int nscales = std::atoi(argv[a++]);
+    const int nrefine = std::atoi(argv[a++]);
+    const Regularisation reg = static_cast<Regularisation>(std::atoi(argv[a++]));
+    const int nparams = std::atoi(argv[a++]);
+    if (argc != a + nparams + (nscales + 1)) {
+        std::fprintf(stderr, "expected %d params + %d niter entries\n", nparams,
+                     nscales + 1);
+        return 2;
+    }
+    std::vector<float> regparams(nparams);
+    for (int p = 0; p < nparams; p++) regparams[p] = (float)std::atof(argv[a++]);
+    std::vector<int> niter(nscales + 1);
+    for (int s = 0; s < nscales + 1; s++) niter[s] = std::atoi(argv[a++]);
+
+    const dim dimin((unsigned)nx, (unsigned)ny);
+    const size_t size = (size_t)nx * ny;
+
+    try {
+        ImageRegistration* regobj = NULL;
+        if (reg == Regularisation::Diffusion || reg == Regularisation::Curvature ||
+            reg == Regularisation::Elastic) {
+            regobj = new ImageRegistrationOpticalFlow(
+                dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
+                (unsigned)nparams, Verbose::Off);
+        } else if (reg == Regularisation::ThirionsDemons ||
+                   reg == Regularisation::DiffeomorphicDemons) {
+            regobj = new ImageRegistrationDemons(
+                dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
+                (unsigned)nparams, Verbose::Off);
+        } else if (reg == Regularisation::Fluid) {
+            regobj = new ImageRegistrationFluid(
+                dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
+                (unsigned)nparams, Verbose::Off);
+        } else {
+            std::fprintf(stderr, "invalid regularisation %d\n", (int)reg);
+            return 2;
+        }
+
+        std::vector<double> iref_buf = read_raw(iref_path, size);
+        std::vector<double> imov_buf = read_raw(imov_path, size);
+
+        Image Iref(dimin), Imov(dimin);
+        Iref.set_image(iref_buf.data());
+        Imov.set_image(imov_buf.data());
+        regobj->set_reference_image(Iref);
+        regobj->set_moving_image(Imov);
+
+        regobj->estimate_motion();
+
+        Motion motion(dimin);
+        regobj->copy_estimated_motion(motion);
+        std::vector<double> mo(2 * size);
+        motion.copy_motion_to_input(mo.data());
+        write_raw(out_motion, mo);
+
+        Image Iwar(dimin);
+        Iwar.set_image(imov_buf.data());
+        Iwar.warp2d(*regobj->get_estimated_motion());
+        std::vector<double> war(size);
+        Iwar.copy_image_to_input(war.data());
+        write_raw(out_warped, war);
+
+        delete regobj;
+    } catch (const std::exception& e) {
+        std::fprintf(stderr, "oracle error: %s\n", e.what());
+        return 1;
+    }
+    return 0;
+}

@@ -1,0 +1,121 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opticalflow2d_tpu.ops.resample import (
+    pyramid_dims,
+    downsample_image,
+    upsample_image,
+    downsample_motion,
+    upsample_motion,
+)
+from opticalflow2d_tpu.ops.conv import (
+    convolve2d_clip,
+    convolve2d_flatwrap,
+    gaussian_kernel_2d,
+)
+from opticalflow2d_tpu.ops.dct import dct2_fftw, idct2_fftw, curvature_eigenvalues
+import reference_impl as ref
+
+
+def test_pyramid_dims_truncation():
+    # 101 / 2 = 50.5 -> 50 (float division then int cast, like the reference)
+    assert pyramid_dims((101, 64), 2) == [(101, 64), (50, 32), (25, 16)]
+
+
+def test_downsample_matches_reference(rng):
+    f = rng.standard_normal((20, 16)).astype(np.float32)
+    got = np.asarray(downsample_image(jnp.asarray(f), (10, 8)))
+    want = ref.downsample(f.astype(np.float64), (10, 8))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_odd_dims(rng):
+    f = rng.standard_normal((21, 17)).astype(np.float32)
+    got = np.asarray(downsample_image(jnp.asarray(f), (10, 8)))
+    want = ref.downsample(f.astype(np.float64), (10, 8))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_matches_reference(rng):
+    f = rng.standard_normal((10, 8)).astype(np.float32)
+    got = np.asarray(upsample_image(jnp.asarray(f), (20, 16)))
+    want = ref.upsample(f.astype(np.float64), (20, 16))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_odd_target(rng):
+    f = rng.standard_normal((10, 8)).astype(np.float32)
+    got = np.asarray(upsample_image(jnp.asarray(f), (21, 17)))
+    want = ref.upsample(f.astype(np.float64), (21, 17))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_motion_resample_rescales_components(rng):
+    u = rng.standard_normal((2, 16, 12)).astype(np.float32)
+    down = np.asarray(downsample_motion(jnp.asarray(u), (8, 6)))
+    want_x = ref.downsample(u[0].astype(np.float64), (8, 6)) * (8 / 16)
+    want_y = ref.downsample(u[1].astype(np.float64), (8, 6)) * (6 / 12)
+    np.testing.assert_allclose(down[0], want_x, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(down[1], want_y, rtol=1e-5, atol=1e-6)
+
+    up = np.asarray(upsample_motion(jnp.asarray(u), (32, 24)))
+    want_x = ref.upsample(u[0].astype(np.float64), (32, 24)) * 2.0
+    np.testing.assert_allclose(up[0], want_x, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sigma,width", [(2.0, 5), (1.0, 3), (3.0, 7)])
+def test_convolve_clip_matches_dense_loops(rng, sigma, width):
+    f = rng.standard_normal((14, 18)).astype(np.float32)
+    got = np.asarray(convolve2d_clip(jnp.asarray(f), sigma, width))
+    want = ref.convolve_clip(f.astype(np.float64), sigma, width)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_convolve_flatwrap_matches_reference_bug(rng):
+    f = rng.standard_normal((12, 10)).astype(np.float32)
+    got = np.asarray(convolve2d_flatwrap(jnp.asarray(f), 2.0, 5))
+    want = ref.convolve_flatwrap(f.astype(np.float64), 2.0, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_convolve_clip_vs_flatwrap_differ_only_at_x_edges(rng):
+    f = rng.standard_normal((16, 12)).astype(np.float32)
+    a = np.asarray(convolve2d_clip(jnp.asarray(f), 2.0, 5))
+    b = np.asarray(convolve2d_flatwrap(jnp.asarray(f), 2.0, 5))
+    c = 2  # kernel half-width
+    np.testing.assert_allclose(a[c:-c, :], b[c:-c, :], rtol=1e-4, atol=1e-5)
+    assert not np.allclose(a[:c, 1:-1], b[:c, 1:-1], atol=1e-6)
+
+
+def test_gaussian_kernel_matches_reference():
+    got = gaussian_kernel_2d(2.0, 5)
+    want = ref.gaussian_kernel_2d(2.0, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dct_roundtrip_scaling(rng):
+    a = rng.standard_normal((16, 24)).astype(np.float32)
+    out = np.asarray(idct2_fftw(dct2_fftw(jnp.asarray(a))))
+    np.testing.assert_allclose(out, 4 * 16 * 24 * a, rtol=1e-3, atol=1e-3)
+
+
+def test_dct_matches_reference_matrices(rng):
+    a = rng.standard_normal((12, 10)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(dct2_fftw(jnp.asarray(a))),
+        ref.dct2_fftw(a.astype(np.float64)),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(idct2_fftw(jnp.asarray(a))),
+        ref.idct2_fftw(a.astype(np.float64)),
+        rtol=1e-4, atol=1e-3,
+    )
+
+
+def test_curvature_eigenvalues_range():
+    eig = np.asarray(curvature_eigenvalues(32, 32, alpha=1.0, tau=1.0))
+    assert eig.shape == (32, 32)
+    assert eig[0, 0] == pytest.approx(1.0)  # zero frequency untouched
+    assert np.all(eig > 0) and np.all(eig <= 1.0)
