@@ -107,6 +107,11 @@ class RegConfig:
     timestep_skip: float = 65.0
 
     # --- TPU-native knobs (no reference counterpart) ---
+    # SOR sweep ordering for elastic/fluid: "redblack" (TPU-native, same
+    # fixed point, different iterate path) or "lexicographic" (exact
+    # wavefront reproduction of the reference's sequential sweep — slow,
+    # for bit-parity runs).
+    sor_ordering: str = "redblack"
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.

@@ -82,6 +82,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         step = lambda u_est, d: elastic_step(
             u_est, d, cfg.mu, cfg.lam, cfg.omega,
             cfg.compat.elastic_stencil_reference,
+            cfg.sor_ordering,
         )
     else:  # pragma: no cover
         raise ValueError(cfg.method)
@@ -122,6 +123,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         timestep_skip=cfg.timestep_skip,
         maxabs_bug=cfg.compat.maxabs_bug,
         reference_stencil=cfg.compat.elastic_stencil_reference,
+        sor_ordering=cfg.sor_ordering,
     )
 
     velocity = jnp.zeros_like(u)
@@ -135,9 +137,14 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             return (it < niter) & ~conv
 
         def body(carry):
-            u_tot, u_est, vel, grad_i, it_img, it, conv, errs, nregrid = carry
+            u_tot, u_est, prev, vel, grad_i, it_img, it, conv, errs, nregrid = carry
             u_new, vel, _dt = step(u_est, vel, Derivatives(grad_i, it_img))
-            err = _rel_step_error(u_new, u_est)
+            # `prev` is the Logger's state: the last *logged* estimate. It is
+            # NOT reset by regridding (the reference's Logger lives outside
+            # the regrid block, ImageRegistrationFluid.cpp:99-124), so it is
+            # carried separately from u_est.
+            err = _rel_step_error(u_new, prev)
+            prev = u_new
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
 
@@ -161,15 +168,15 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
                 do_regrid, regrid, no_regrid, (u_tot, u_new, grad_i, it_img)
             )
             nregrid = nregrid + do_regrid.astype(jnp.int32)
-            return (u_tot, u_new, vel, grad_i, it_img, it + 1, conv, errs, nregrid)
+            return (u_tot, u_new, prev, vel, grad_i, it_img, it + 1, conv, errs, nregrid)
 
         u0 = jnp.zeros_like(u)
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (
-            u, u0, velocity, d.grad_i, d.it,
+            u, u0, u0, velocity, d.grad_i, d.it,
             jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0),
         )
-        u, u_est, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
+        u, u_est, _, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
         u = compose(u, u_est)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, nregrid))
     return u, traces

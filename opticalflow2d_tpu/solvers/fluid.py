@@ -35,6 +35,7 @@ def make_fluid_step(
     timestep_skip: float = 65.0,
     maxabs_bug: bool = False,
     reference_stencil: bool = True,
+    sor_ordering: str = "redblack",
 ):
     """Build the fluid step. State is ``(u, velocity)``; returns the updated
     pair plus the timestep for diagnostics."""
@@ -43,7 +44,9 @@ def make_fluid_step(
         u: jnp.ndarray, velocity: jnp.ndarray, d: Derivatives
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         f = lssd_force(d, u)
-        velocity = sor_sweep(velocity, f, mu, lam, omega, reference_stencil)
+        velocity = sor_sweep(
+            velocity, f, mu, lam, omega, reference_stencil, sor_ordering
+        )
 
         # Material derivative: R_c = v_c - (d u_c/dx) v_x - (d u_c/dy) v_y
         dudx = partial_x(u)  # [2, nx, ny]: per-component d/dx

@@ -1,0 +1,135 @@
+"""End-to-end parity against the C++ reference (compiled in place as the
+oracle, see oracle/). Covers the five BASELINE.json workloads.
+
+Bit-parity configs run with the compat flags on (maxabs bug, flat-wrap
+convolution) and — for elastic/fluid — the exact lexicographic wavefront SOR.
+The TPU-native red-black mode is validated separately at the
+converged-quality level (same fixed point, different iterate path)."""
+
+import numpy as np
+import pytest
+
+from conftest import make_pair
+from oracle_utils import run_oracle, endpoint_error, ensure_oracle
+from opticalflow2d_tpu import register, RegConfig, Method, CompatFlags
+
+try:
+    ensure_oracle()
+    HAVE_ORACLE = True
+except Exception:  # pragma: no cover
+    HAVE_ORACLE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_ORACLE, reason="oracle build failed")
+
+COMPAT = CompatFlags(maxabs_bug=True, conv_flatwrap=True)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return make_pair(48, 40, shift=(1.5, -0.8))
+
+
+def _run_both(pair, method, params, niter, nscales, nrefine=1, **cfg_kw):
+    iref, imov = pair
+    u_ref, war_ref = run_oracle(iref, imov, nscales, nrefine, int(method), params, niter)
+    cfg = RegConfig.from_regparams(method, niter, nscales, params, nrefine, **cfg_kw)
+    res = register(iref, imov, cfg)
+    u = np.asarray(res.motion, np.float64)
+    return u, u_ref, res
+
+
+# --- BASELINE config 1: Horn-Schunck, single resolution -------------------
+
+def test_diffusion_single_resolution_bit_parity(pair):
+    u, u_ref, res = _run_both(pair, Method.DIFFUSION, [0.5], [60], 0, compat=COMPAT)
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+def test_diffusion_pyramid_refine_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.DIFFUSION, [0.5], [40, 20], 1, nrefine=2, compat=COMPAT
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+# --- BASELINE config 2: curvature + elastic, multi-resolution pyramid -----
+
+def test_curvature_pyramid_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.CURVATURE, [0.1, 1.0], [40, 20], 1, nrefine=2, compat=COMPAT
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 2e-4
+
+
+def test_elastic_pyramid_lexicographic_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.ELASTIC, [0.5, 0.0], [40, 20], 1,
+        compat=COMPAT, sor_ordering="lexicographic",
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+def test_elastic_redblack_converged_parity(pair):
+    # Red-black SOR: same fixed point, different path — converged-quality
+    # tolerance (SURVEY.md §7 hard parts #1).
+    u, u_ref, res = _run_both(pair, Method.ELASTIC, [0.5, 0.0], [50, 25], 1, compat=COMPAT)
+    assert endpoint_error(u, u_ref) < 0.02
+
+
+# --- BASELINE config 3: Thirion demons ------------------------------------
+
+@pytest.mark.parametrize("accum", [0, 1], ids=["composition", "addition"])
+def test_thirions_demons_bit_parity(pair, accum):
+    u, u_ref, res = _run_both(
+        pair, Method.THIRIONS_DEMONS, [1.0, 0.25, 2.0, 2.0, 5, accum],
+        [20, 10], 1, compat=COMPAT,
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+# --- BASELINE config 4: diffeomorphic demons ------------------------------
+
+def test_diffeomorphic_demons_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.DIFFEOMORPHIC_DEMONS, [1.0, 0.25, 2.0, 2.0, 5],
+        [20, 10], 1, compat=COMPAT,
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+# --- BASELINE config 5: viscous fluid -------------------------------------
+
+def test_fluid_lexicographic_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.FLUID, [0.25, 0.0], [25, 25], 1,
+        compat=COMPAT, sor_ordering="lexicographic",
+    )
+    # Trajectory is fully reproduced: same iteration counts, same regrids,
+    # same timestep sequence (verified bit-level vs the oracle's prints).
+    assert endpoint_error(u, u_ref) < 1e-4
+    assert np.abs(u - u_ref).max() < 1e-3
+
+
+def test_fluid_redblack_converged_quality(pair):
+    # Red-black fluid follows a different (but valid) trajectory; assert
+    # registration quality rather than trajectory parity.
+    iref, imov = pair
+    u_ref, war_ref = run_oracle(iref, imov, 1, 1, 5, [0.25, 0.0], [25, 25])
+    cfg = RegConfig.from_regparams(Method.FLUID, [25, 25], 1, [0.25, 0.0], 1, compat=COMPAT)
+    res = register(iref, imov, cfg)
+    from opticalflow2d_tpu.ops.warp import warp2d
+    import jax.numpy as jnp
+
+    war = np.asarray(warp2d(jnp.asarray(imov), res.motion))
+    ssd0 = ((iref - imov) ** 2).sum()
+    ssd_ours = ((iref - war) ** 2).sum()
+    ssd_oracle = ((iref - war_ref) ** 2).sum()
+    # At least as good a registration (within 25%) as the reference run.
+    assert ssd_ours < ssd0 * 0.2
+    assert ssd_ours < ssd_oracle * 1.25 + 1e-3
