@@ -1,0 +1,109 @@
+"""Distributed 2D DCT and the spatially-sharded curvature solver.
+
+The reference's curvature solve is a single-node FFTW DCT pair
+(``OpticalFlowCurvature.cpp:144-167``). Sharded over the mesh ``"x"`` axis,
+the transform becomes: local matmul along the unsharded y axis, an
+``all_to_all`` transpose over ICI, local matmul along the (now-local) x axis
+— the classic distributed-FFT decomposition (SURVEY.md §2.2).
+
+The full semi-implicit update
+``u <- idct2(eig * dct2(u - tau f)) / (4 nx ny)`` needs only TWO
+all_to_alls: forward-y, transpose, forward-x, eigenvalue multiply,
+inverse-x, transpose back, inverse-y (the eigenvalue multiply happens in the
+transposed layout on each device's y-slice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from opticalflow2d_tpu.ops.dct import _dct2_matrix, _dct3_matrix, curvature_eigenvalues
+from opticalflow2d_tpu.solvers.base import Derivatives, lssd_force
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
+def make_curvature_step_sharded(
+    mesh: Mesh, nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32
+):
+    """Build the curvature update for ``u [2, nx, ny]`` sharded as
+    ``P(None, 'x', None)``. Numerically equivalent to the serial
+    ``make_curvature_step`` (same transform matrices, same normalization)."""
+    n_x = mesh.shape["x"]
+    if nx % n_x != 0 or ny % n_x != 0:
+        raise ValueError(
+            f"nx ({nx}) and ny ({ny}) must be divisible by the x-axis size {n_x}"
+        )
+    nyl = ny // n_x
+
+    c2x = jnp.asarray(_dct2_matrix(nx), dtype)
+    c3x = jnp.asarray(_dct3_matrix(nx), dtype)
+    c2y = jnp.asarray(_dct2_matrix(ny), dtype)
+    c3y = jnp.asarray(_dct3_matrix(ny), dtype)
+    eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
+    scale = 1.0 / (4.0 * nx * ny)
+
+    spec_u = P(None, "x", None)
+    spec_im = P("x", None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_u, spec_u, spec_im),
+        out_specs=spec_u,
+        check_vma=False,
+    )
+    def step(u_loc, grad_loc, it_loc):
+        d = Derivatives(grad_loc, it_loc)
+        f = lssd_force(d, u_loc)
+        rhs = u_loc - tau * f  # [2, nxl, ny]
+
+        # Forward DCT along y (local).
+        t = _mm(rhs, c2y.T)
+        # Transpose: [2, nxl, ny] -> [2, nx, nyl] over ICI.
+        t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
+        # Forward DCT along x (now local) + eigenvalue multiply in the
+        # transposed layout.
+        idx = lax.axis_index("x")
+        eig_slice = lax.dynamic_slice(eig, (0, idx * nyl), (nx, nyl))
+        t = jnp.einsum("kx,cxy->cky", c2x, t,
+                       precision=lax.Precision.HIGHEST) * eig_slice[None]
+        # Inverse DCT along x, transpose back, inverse along y.
+        t = jnp.einsum("kx,cxy->cky", c3x, t, precision=lax.Precision.HIGHEST)
+        t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
+        t = _mm(t, c3y.T)
+        return t * scale
+
+    return step
+
+
+def make_dct2_sharded(mesh: Mesh, nx: int, ny: int, inverse: bool = False,
+                      dtype=jnp.float32):
+    """Standalone distributed 2D DCT (FFTW conventions) on ``[nx, ny]``
+    arrays sharded ``P('x', None)``; mainly for testing and composition."""
+    n_x = mesh.shape["x"]
+    if nx % n_x != 0 or ny % n_x != 0:
+        raise ValueError("dims must divide the mesh x-axis size")
+    cx = jnp.asarray((_dct3_matrix if inverse else _dct2_matrix)(nx), dtype)
+    cy = jnp.asarray((_dct3_matrix if inverse else _dct2_matrix)(ny), dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("x", None),), out_specs=P("x", None),
+        check_vma=False,
+    )
+    def dct(a_loc):
+        t = _mm(a_loc, cy.T)
+        t = lax.all_to_all(t, "x", split_axis=1, concat_axis=0, tiled=True)
+        t = _mm(cx, t)
+        t = lax.all_to_all(t, "x", split_axis=0, concat_axis=1, tiled=True)
+        return t
+
+    return dct

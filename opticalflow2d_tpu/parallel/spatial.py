@@ -1,0 +1,129 @@
+"""Spatial (grid) sharding — the sequence-parallel analog for large images
+(SURVEY.md §2.2, §5 "long-context").
+
+Two complementary paths:
+
+1. ``register_sharded``: the full registration pipeline jitted with the
+   images sharded in strips along x (``P('x', None)``). XLA's SPMD
+   partitioner inserts the halo exchanges (collective-permutes) for every
+   shift/pad stencil and handles the DCT matmuls as sharded matmuls — the
+   "annotate shardings, let XLA insert collectives" recipe. Numerically
+   identical to the single-device trace.
+
+2. ``diffusion_sweeps_sharded``: an explicit ``shard_map`` + ``ppermute``
+   halo-exchange implementation of the Horn-Schunck inner loop (the #1 hot
+   stencil, SURVEY.md §3.4) — the hand-scheduled variant used to validate
+   and benchmark against path 1, and the template for Pallas ring kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from opticalflow2d_tpu.config import RegConfig
+from opticalflow2d_tpu.engine.registration import _register_impl, RegistrationResult
+
+
+# ---------------------------------------------------------------------------
+# Path 1: whole-pipeline SPMD via sharding annotations
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _jitted_register_sharded(cfg: RegConfig, mesh: Mesh):
+    img_sharding = NamedSharding(mesh, P("x", None))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda r, m: _register_impl(r, m, cfg),
+        in_shardings=(img_sharding, img_sharding),
+        out_shardings=replicated,
+    )
+
+
+def register_sharded(iref, imov, cfg: RegConfig, mesh: Mesh) -> RegistrationResult:
+    """Run the full registration with the image grid sharded in x-strips
+    across the mesh's ``"x"`` axis. Semantics identical to ``register``."""
+    iref = jnp.asarray(iref)
+    imov = jnp.asarray(imov)
+    return _jitted_register_sharded(cfg, mesh)(iref, imov)
+
+
+# ---------------------------------------------------------------------------
+# Path 2: explicit halo exchange with shard_map + ppermute
+# ---------------------------------------------------------------------------
+
+def _halo_exchange_rows(f: jnp.ndarray, axis_name: str):
+    """Exchange 1-row halos along the sharded x axis over ICI.
+
+    ``f`` is the local strip ``[..., nxl, ny]``. Returns (top, bot): the
+    last row of the left (lower-index) neighbor and the first row of the
+    right neighbor; zeros at the global boundary (masked out by the caller's
+    border stencils).
+    """
+    n = lax.psum(1, axis_name)
+    send_down = [(i, i + 1) for i in range(n - 1)]   # my last row -> next shard
+    send_up = [(i + 1, i) for i in range(n - 1)]     # my first row -> prev shard
+    top = lax.ppermute(f[..., -1:, :], axis_name, send_down)
+    bot = lax.ppermute(f[..., :1, :], axis_name, send_up)
+    return top, bot
+
+
+def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Quasi-laplacian (4-neighbour average, zero at global borders) on a
+    local x-strip with halo exchange. ``f`` is ``[..., nxl, ny]``."""
+    nxl, ny = f.shape[-2], f.shape[-1]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+
+    top, bot = _halo_exchange_rows(f, axis_name)
+    fp = jnp.concatenate([top, f, bot], axis=-2)  # [..., nxl+2, ny]
+
+    x_sum = fp[..., 2:, :] + fp[..., :-2, :]
+    y_pad = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(1, 1)])
+    y_sum = y_pad[..., :, 2:] + y_pad[..., :, :-2]
+    q = (x_sum + y_sum) * 0.25
+
+    # Zero the global borders (gradients.h:72-80): global first/last row and
+    # first/last column.
+    gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+    gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+    nx_glob = n * nxl
+    border = (gi == 0) | (gi == nx_glob - 1) | (gj == 0) | (gj == ny - 1)
+    return jnp.where(border, 0.0, q)
+
+
+def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
+    """Build a jitted function running ``niter`` Horn-Schunck sweeps with
+    explicit ICI halo exchange; inputs/outputs sharded in x-strips.
+
+    Signature: ``(u [2, nx, ny], grad_i [2, nx, ny], it [nx, ny]) -> u``.
+    The image x-size must be divisible by the mesh's "x" axis.
+    """
+    spec_u = P(None, "x", None)
+    spec_im = P("x", None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_u, spec_u, spec_im),
+        out_specs=spec_u,
+        check_vma=False,
+    )
+    def sweeps(u, grad_i, it_img):
+        den = alpha * alpha + grad_i[0] ** 2 + grad_i[1] ** 2
+
+        def body(_, u):
+            q = _qlaplacian_halo(u, "x")
+            inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
+            f = grad_i * inner[None]
+            return q - f / den[None]
+
+        return lax.fori_loop(0, niter, body, u)
+
+    return jax.jit(sweeps)

@@ -42,7 +42,59 @@ static void write_raw(const char* path, const std::vector<double>& v) {
     std::fclose(f);
 }
 
+#include <chrono>
+#include <cstring>
+#include <src/regularization/OpticalFlow/OpticalFlowDiffusion.h>
+
+// Kernel benchmark mode: time `iters` raw diffusion get_update calls on a
+// synthetic pair (no pyramid, no convergence gate) — the single-core CPU
+// baseline for the Mpixels/s solver-throughput metric (BASELINE.md).
+static int bench_main(int argc, char** argv) {
+    if (argc != 5) {
+        std::fprintf(stderr, "usage: %s bench nx ny iters\n", argv[0]);
+        return 2;
+    }
+    const int nx = std::atoi(argv[2]);
+    const int ny = std::atoi(argv[3]);
+    const int iters = std::atoi(argv[4]);
+    const dim dimin((unsigned)nx, (unsigned)ny);
+    const size_t size = (size_t)nx * ny;
+
+    std::vector<double> a(size), b(size);
+    for (int j = 0; j < ny; j++) {
+        for (int i = 0; i < nx; i++) {
+            double v = std::sin(0.11 * i) * std::cos(0.07 * j);
+            a[i + (size_t)j * nx] = v;
+            b[i + (size_t)j * nx] = std::sin(0.11 * (i - 1.3)) * std::cos(0.07 * (j + 0.6));
+        }
+    }
+    Image Iref(dimin), Imov(dimin);
+    Iref.set_image(a.data());
+    Imov.set_image(b.data());
+
+    OpticalFlowDiffusion solver(dimin, 0.5f);
+    Motion motion(dimin);
+    solver.set_derivatives(&Iref, &Imov);
+    // warmup
+    solver.get_update(&motion);
+
+    auto t0 = std::chrono::steady_clock::now();
+    for (int k = 0; k < iters; k++) {
+        solver.get_update(&motion);
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double sec = std::chrono::duration<double>(t1 - t0).count();
+    double mpix_s = (double)size * iters / sec / 1e6;
+    std::printf("{\"pixels\": %zu, \"iters\": %d, \"seconds\": %.6f, "
+                "\"mpixels_per_s\": %.3f}\n",
+                size, iters, sec, mpix_s);
+    return 0;
+}
+
 int main(int argc, char** argv) {
+    if (argc >= 2 && std::strcmp(argv[1], "bench") == 0) {
+        return bench_main(argc, argv);
+    }
     if (argc < 11) {
         std::fprintf(stderr,
                      "usage: %s iref imov out_motion out_warped nx ny nscales "

@@ -1,0 +1,131 @@
+"""Parallel-layer tests on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_pair
+from opticalflow2d_tpu import register, RegConfig, Method
+from opticalflow2d_tpu.parallel.mesh import make_mesh
+from opticalflow2d_tpu.parallel.batch import register_batch
+from opticalflow2d_tpu.parallel.spatial import (
+    register_sharded,
+    make_diffusion_sweeps_sharded,
+)
+from opticalflow2d_tpu.solvers.base import derivatives
+from opticalflow2d_tpu.solvers.diffusion import diffusion_step
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _batch_pairs(b=4, nx=32, ny=32):
+    irefs, imovs = [], []
+    for k in range(b):
+        r, m = make_pair(nx, ny, shift=(1.0 + 0.2 * k, -0.5 + 0.1 * k))
+        irefs.append(r)
+        imovs.append(m)
+    return np.stack(irefs), np.stack(imovs)
+
+
+CFG = RegConfig(method=Method.DIFFUSION, niter=(20, 10), nscales=1, alpha=0.5)
+
+
+def test_register_batch_matches_serial():
+    irefs, imovs = _batch_pairs(3)
+    res = register_batch(irefs, imovs, CFG)
+    assert res.motion.shape == (3, 2, 32, 32)
+    for k in range(3):
+        serial = register(irefs[k], imovs[k], CFG)
+        np.testing.assert_allclose(
+            np.asarray(res.motion[k]), np.asarray(serial.motion), rtol=2e-4, atol=1e-5
+        )
+
+
+@requires_8
+def test_register_batch_sharded_on_mesh():
+    mesh = make_mesh(data=4, x=2)
+    irefs, imovs = _batch_pairs(8)
+    res = register_batch(irefs, imovs, CFG, mesh=mesh)
+    serial = register(irefs[0], imovs[0], CFG)
+    np.testing.assert_allclose(
+        np.asarray(res.motion[0]), np.asarray(serial.motion), rtol=2e-4, atol=1e-5
+    )
+
+
+@requires_8
+def test_register_sharded_matches_serial():
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, lam=0.0)
+    res_sharded = register_sharded(iref, imov, cfg, mesh)
+    res_serial = register(iref, imov, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.motion), np.asarray(res_serial.motion),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@requires_8
+def test_diffusion_sweeps_sharded_matches_serial():
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 40, shift=(1.5, -0.8))
+    d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
+
+    sweeps = make_diffusion_sweeps_sharded(mesh, alpha=0.5, niter=15)
+    u_sharded = sweeps(jnp.zeros((2, 64, 40)), d.grad_i, d.it)
+
+    u = jnp.zeros((2, 64, 40))
+    for _ in range(15):
+        u = diffusion_step(u, d, 0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u), rtol=1e-5, atol=1e-6
+    )
+
+
+@requires_8
+def test_distributed_dct_matches_serial():
+    from opticalflow2d_tpu.parallel.dct_dist import make_dct2_sharded
+    from opticalflow2d_tpu.ops.dct import dct2_fftw, idct2_fftw
+
+    mesh = make_mesh(data=1, x=8)
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((64, 48)).astype(np.float32)
+
+    fwd = jax.jit(make_dct2_sharded(mesh, 64, 48))
+    inv = jax.jit(make_dct2_sharded(mesh, 64, 48, inverse=True))
+    np.testing.assert_allclose(
+        np.asarray(fwd(jnp.asarray(a))), np.asarray(dct2_fftw(jnp.asarray(a))),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inv(jnp.asarray(a))), np.asarray(idct2_fftw(jnp.asarray(a))),
+        rtol=1e-4, atol=1e-3,
+    )
+
+
+@requires_8
+def test_curvature_step_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.dct_dist import make_curvature_step_sharded
+    from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+    d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
+    u = jnp.zeros((2, 64, 48))
+
+    sharded = jax.jit(make_curvature_step_sharded(mesh, 64, 48, 0.1, 1.0))
+    serial = make_curvature_step(64, 48, 0.1, 1.0)
+
+    u_a, u_b = u, u
+    for _ in range(5):
+        u_a = sharded(u_a, d.grad_i, d.it)
+        u_b = serial(u_b, d)
+    np.testing.assert_allclose(
+        np.asarray(u_a), np.asarray(u_b), rtol=1e-4, atol=1e-5
+    )

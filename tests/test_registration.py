@@ -1,0 +1,168 @@
+"""Engine-level behavior tests: convergence semantics, property tests,
+session API — the test strategy SURVEY.md §4/§7 prescribes (the reference
+itself has none)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_pair
+from opticalflow2d_tpu import (
+    register,
+    RegConfig,
+    Method,
+    OpticalFlow2d,
+    CompatFlags,
+)
+from opticalflow2d_tpu.ops.warp import warp2d
+from opticalflow2d_tpu.ops.grid import jacobian_det
+
+
+ALL_METHODS = [
+    (Method.DIFFUSION, dict(alpha=0.5)),
+    (Method.CURVATURE, dict(alpha=0.1, tau=1.0)),
+    (Method.ELASTIC, dict(mu=0.5, lam=0.0)),
+    (Method.THIRIONS_DEMONS, {}),
+    (Method.DIFFEOMORPHIC_DEMONS, {}),
+    (Method.FLUID, dict(mu=0.25, lam=0.0)),
+]
+
+
+@pytest.mark.parametrize("method,kw", ALL_METHODS, ids=[m.name for m, _ in ALL_METHODS])
+def test_identical_images_give_zero_motion(method, kw):
+    iref, _ = make_pair(32, 28)
+    cfg = RegConfig(method=method, niter=(10, 5), nscales=1, **kw)
+    res = register(iref, iref, cfg)
+    np.testing.assert_allclose(np.asarray(res.motion), 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("method,kw", ALL_METHODS, ids=[m.name for m, _ in ALL_METHODS])
+def test_ssd_reduction_on_translated_pair(method, kw):
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    cfg = RegConfig(method=method, niter=(60, 30), nscales=1, **kw)
+    res = register(iref, imov, cfg)
+    war = np.asarray(warp2d(jnp.asarray(imov), res.motion))
+    ssd0 = ((iref - imov) ** 2).sum()
+    ssd1 = ((iref - war) ** 2).sum()
+    assert np.isfinite(np.asarray(res.motion)).all()
+    assert ssd1 < 0.7 * ssd0, f"{method.name}: ssd {ssd0} -> {ssd1}"
+
+
+def test_translation_recovery_demons():
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(80, 40), nscales=1)
+    res = register(iref, imov, cfg)
+    u = np.asarray(res.motion)
+    # interior mean displacement should approximate the true shift
+    interior = u[:, 12:-12, 12:-12]
+    assert abs(interior[0].mean() - 1.5) < 0.4
+    assert abs(interior[1].mean() - (-0.8)) < 0.4
+
+
+def test_diffeomorphic_demons_positive_jacobian():
+    iref, imov = make_pair(48, 40, shift=(2.5, -1.5))
+    cfg = RegConfig(method=Method.DIFFEOMORPHIC_DEMONS, niter=(60, 30), nscales=1)
+    res = register(iref, imov, cfg)
+    jac = np.asarray(jacobian_det(res.motion))
+    # Away from the boundary bands (where renormalized warping/smoothing can
+    # fold), the composed field stays orientation-preserving.
+    assert (jac[5:-5, 5:-5] > 0).mean() > 0.99
+
+
+def test_early_stop_semantics():
+    # Identical images: update is 0 from iteration 0, so err stays 0 and the
+    # reference gate (err < tol AND iter > 1) stops at exactly 3 iterations.
+    iref, _ = make_pair(32, 28)
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(50,), nscales=0, alpha=0.5)
+    res = register(iref, iref, cfg)
+    assert int(res.traces[0].iterations) == 3
+
+
+def test_niter_cap_respected():
+    iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(7,), nscales=0, alpha=0.5)
+    res = register(iref, imov, cfg)
+    assert int(res.traces[0].iterations) <= 7
+
+
+def test_traces_shape_and_order():
+    iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+    cfg = RegConfig(
+        method=Method.DIFFUSION, niter=(5, 4, 3), nscales=2, nrefine=2, alpha=0.5
+    )
+    res = register(iref, imov, cfg)
+    assert len(res.traces) == 3 * 2  # (nscales+1) levels x nrefine
+    scales = [int(t.scale) for t in res.traces]
+    assert scales == [2, 2, 1, 1, 0, 0]  # coarse -> fine, refine-major
+
+
+def test_nonsquare_and_odd_dims():
+    iref, imov = make_pair(37, 51, shift=(1.0, -0.5))
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25)
+    res = register(iref, imov, cfg)
+    assert res.motion.shape == (2, 37, 51)
+    assert np.isfinite(np.asarray(res.motion)).all()
+
+
+def test_dtype_bfloat16_runs():
+    iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+    cfg = RegConfig(
+        method=Method.DIFFUSION, niter=(10,), nscales=0, alpha=0.5, dtype="bfloat16"
+    )
+    res = register(iref, imov, cfg)
+    assert res.motion.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(res.motion, dtype=np.float32)).all()
+
+
+class TestSession:
+    def test_full_mex_surface(self):
+        iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+        sess = OpticalFlow2d(
+            (48, 40), niter=[25, 25], nscales=1, regularisation=5,
+            regparams=[0.25, 0.0], nrefine=1,
+        )
+        sess.register(iref, imov)
+        u = sess.get_motion()
+        assert u.shape == (48, 40, 2)
+        ireg = sess.warp(imov)
+        assert ireg.shape == (48, 40)
+        assert ((iref - ireg) ** 2).sum() < ((iref - imov) ** 2).sum()
+        sess.close()
+        with pytest.raises(RuntimeError):
+            sess.get_motion()
+
+    def test_matches_functional_api(self):
+        iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+        sess = OpticalFlow2d(
+            (32, 28), niter=[10, 5], nscales=1, regularisation=Method.DIFFUSION,
+            regparams=[0.5],
+        )
+        sess.register(iref, imov)
+        cfg = RegConfig.from_regparams(Method.DIFFUSION, [10, 5], 1, [0.5])
+        res = register(iref, imov, cfg)
+        np.testing.assert_allclose(
+            sess.get_motion(), np.moveaxis(np.asarray(res.motion), 0, -1)
+        )
+
+    def test_demons_param_packing(self):
+        sess = OpticalFlow2d(
+            (32, 28), [5, 5], 1, Method.THIRIONS_DEMONS,
+            [1.0, 0.25, 2.0, 2.0, 5.7, 1.0],
+        )
+        # kernelwidth truncated from float (reference behavior), accumulation
+        # cast from float
+        assert sess.config.kernelwidth == 5
+        assert sess.config.accumulation == 1
+
+
+def test_compat_flags_change_results():
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    base = RegConfig(method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25)
+    bug = RegConfig(
+        method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25,
+        compat=CompatFlags(maxabs_bug=True),
+    )
+    u_a = np.asarray(register(iref, imov, base).motion)
+    u_b = np.asarray(register(iref, imov, bug).motion)
+    # The maxabs bug changes the adaptive timestep sequence.
+    assert not np.allclose(u_a, u_b)
