@@ -112,6 +112,10 @@ class RegConfig:
     # wavefront reproduction of the reference's sequential sweep — slow,
     # for bit-parity runs).
     sor_ordering: str = "redblack"
+    # Navier-Lame solve for elastic/fluid: "sor" (reference behavior: one
+    # relaxation sweep per iteration) or "spectral" (exact FFT solve of the
+    # same system per iteration, periodic BCs — the north-star upgrade).
+    navier_lame_solver: str = "sor"
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.

@@ -79,11 +79,22 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             make_curvature_step(nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype)
         )
     elif cfg.method == Method.ELASTIC:
-        step = lambda u_est, d: elastic_step(
-            u_est, d, cfg.mu, cfg.lam, cfg.omega,
-            cfg.compat.elastic_stencil_reference,
-            cfg.sor_ordering,
-        )
+        if cfg.navier_lame_solver == "spectral":
+            from opticalflow2d_tpu.solvers.navier_lame import (
+                make_spectral_navier_lame_solver,
+            )
+            from opticalflow2d_tpu.solvers.base import lssd_force
+
+            solve = make_spectral_navier_lame_solver(
+                nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype
+            )
+            step = lambda u_est, d: solve(lssd_force(d, u_est))
+        else:
+            step = lambda u_est, d: elastic_step(
+                u_est, d, cfg.mu, cfg.lam, cfg.omega,
+                cfg.compat.elastic_stencil_reference,
+                cfg.sor_ordering,
+            )
     else:  # pragma: no cover
         raise ValueError(cfg.method)
 
@@ -117,6 +128,16 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     """Fluid: persistent velocity (per level, across refinements), adaptive
     timestep, Jacobian-triggered regridding
     (reference ImageRegistrationFluid.cpp:67-142)."""
+    spectral_solve = None
+    if cfg.navier_lame_solver == "spectral":
+        from opticalflow2d_tpu.solvers.navier_lame import (
+            make_spectral_navier_lame_solver,
+        )
+
+        nx, ny = iref.shape
+        spectral_solve = make_spectral_navier_lame_solver(
+            nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype
+        )
     step = make_fluid_step(
         cfg.mu, cfg.lam, cfg.omega,
         dumax=cfg.dumax,
@@ -124,6 +145,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         maxabs_bug=cfg.compat.maxabs_bug,
         reference_stencil=cfg.compat.elastic_stencil_reference,
         sor_ordering=cfg.sor_ordering,
+        spectral_solve=spectral_solve,
     )
 
     velocity = jnp.zeros_like(u)

@@ -116,3 +116,33 @@ def gaussian_smooth(
     if flatwrap:
         return convolve2d_flatwrap(f, sigma, width)
     return convolve2d_clip(f, sigma, width)
+
+
+def box_kernel_2d(width: int) -> np.ndarray:
+    """Uniform averaging kernel — the reference's ``Kernel::set_average``
+    (``src/Kernel.cpp:75-82``; dead code there, provided for API parity)."""
+    return np.full((width, width), 1.0 / (width * width))
+
+
+def convolve2d_kernel(f: jnp.ndarray, k2d: np.ndarray) -> jnp.ndarray:
+    """Renormalized clipped convolution with an arbitrary dense 2D kernel
+    (odd dims), the general form of the reference's ``Field::convolute``
+    (``src/Field.tpp:210-269``, with the flat-wrap defect fixed). Static
+    k^2 shift-adds over the trailing two axes; use ``convolve2d_clip`` for
+    the separable Gaussian fast path."""
+    kx, ky = k2d.shape
+    cx, cy = (kx - 1) // 2, (ky - 1) // 2
+    nx, ny = f.shape[-2], f.shape[-1]
+    pad = [(0, 0)] * (f.ndim - 2) + [(cx, cx), (cy, cy)]
+    fp = jnp.pad(f, pad)
+    ones = jnp.pad(jnp.ones((nx, ny), f.dtype), [(cx, cx), (cy, cy)])
+    num = None
+    den = None
+    for i in range(kx):
+        for j in range(ky):
+            w = float(k2d[i, j])
+            sl_f = fp[..., i : i + nx, j : j + ny] * w
+            sl_o = ones[i : i + nx, j : j + ny] * w
+            num = sl_f if num is None else num + sl_f
+            den = sl_o if den is None else den + sl_o
+    return num / den

@@ -70,8 +70,11 @@ def _diffusion_kernel(u_hbm, gx_ref, gy_ref, it_ref, out_ref, u_sc, sems, *,
     # --- qlaplacian with halo (gradients.h:72-80) --------------------------
     x_sum = u[:, 2:, :] + u[:, :-2, :]                     # [2, tb, ny]
     center = u[:, 1:-1, :]
-    y_sum = jnp.pad(center, ((0, 0), (0, 0), (1, 1)))
-    y_sum = y_sum[:, :, 2:] + y_sum[:, :, :-2]
+    # y-shifts via circular roll along the lane dim (pad/concat on the minor
+    # dimension doesn't lower in Mosaic); the wrapped entries land only in
+    # the border columns, which the global-border mask zeroes below.
+    lanes = center.shape[-1]
+    y_sum = pltpu.roll(center, 1, 2) + pltpu.roll(center, lanes - 1, 2)
     q = (x_sum + y_sum) * 0.25
 
     # Zero at global borders.

@@ -36,17 +36,26 @@ def make_fluid_step(
     maxabs_bug: bool = False,
     reference_stencil: bool = True,
     sor_ordering: str = "redblack",
+    spectral_solve=None,
 ):
     """Build the fluid step. State is ``(u, velocity)``; returns the updated
-    pair plus the timestep for diagnostics."""
+    pair plus the timestep for diagnostics.
+
+    With ``spectral_solve`` (a ``make_spectral_navier_lame_solver`` result),
+    the velocity is the exact Navier-Lame solution of the current force each
+    iteration instead of one warm-started SOR sweep.
+    """
 
     def step(
         u: jnp.ndarray, velocity: jnp.ndarray, d: Derivatives
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         f = lssd_force(d, u)
-        velocity = sor_sweep(
-            velocity, f, mu, lam, omega, reference_stencil, sor_ordering
-        )
+        if spectral_solve is not None:
+            velocity = spectral_solve(f)
+        else:
+            velocity = sor_sweep(
+                velocity, f, mu, lam, omega, reference_stencil, sor_ordering
+            )
 
         # Material derivative: R_c = v_c - (d u_c/dx) v_x - (d u_c/dy) v_y
         dudx = partial_x(u)  # [2, nx, ny]: per-component d/dx

@@ -1,0 +1,78 @@
+"""Tests for aux utilities and completeness ops (boundary conditions,
+general kernels, checkpointing, health checks)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opticalflow2d_tpu.ops.boundary import dirichlet_boundary, neumann_boundary
+from opticalflow2d_tpu.ops.conv import box_kernel_2d, convolve2d_kernel, gaussian_kernel_2d, convolve2d_clip
+from opticalflow2d_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from opticalflow2d_tpu.utils.health import assert_finite, divergence_guard
+from opticalflow2d_tpu.config import RegConfig, Method
+import reference_impl as ref
+
+
+def test_dirichlet_boundary(rng):
+    u = jnp.asarray(rng.standard_normal((2, 8, 9)).astype(np.float32))
+    out = np.asarray(dirichlet_boundary(u))
+    assert (out[:, 0, :] == 0).all() and (out[:, -1, :] == 0).all()
+    assert (out[:, :, 0] == 0).all() and (out[:, :, -1] == 0).all()
+    np.testing.assert_array_equal(out[:, 1:-1, 1:-1], np.asarray(u)[:, 1:-1, 1:-1])
+
+
+def test_neumann_boundary(rng):
+    u = jnp.asarray(rng.standard_normal((2, 8, 9)).astype(np.float32))
+    out = np.asarray(neumann_boundary(u))
+    np.testing.assert_array_equal(out[:, 0, 1:-1], out[:, 1, 1:-1])
+    np.testing.assert_array_equal(out[:, -1, 1:-1], out[:, -2, 1:-1])
+    np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])
+    np.testing.assert_array_equal(out[:, :, -1], out[:, :, -2])
+
+
+def test_convolve2d_kernel_gaussian_matches_separable(rng):
+    f = rng.standard_normal((14, 18)).astype(np.float32)
+    k = gaussian_kernel_2d(2.0, 5)
+    a = np.asarray(convolve2d_kernel(jnp.asarray(f), k))
+    b = np.asarray(convolve2d_clip(jnp.asarray(f), 2.0, 5))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_convolve2d_kernel_box(rng):
+    f = rng.standard_normal((12, 12)).astype(np.float32)
+    k = box_kernel_2d(3)
+    out = np.asarray(convolve2d_kernel(jnp.asarray(f), k))
+    # interior = plain 3x3 mean
+    want = np.zeros_like(f)
+    for i in range(1, 11):
+        for j in range(1, 11):
+            want[i, j] = f[i - 1 : i + 2, j - 1 : j + 2].mean()
+    np.testing.assert_allclose(out[1:-1, 1:-1], want[1:-1, 1:-1], rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    u = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, u, cfg, level=1)
+    u2, level = load_checkpoint(path, cfg)
+    np.testing.assert_array_equal(u, u2)
+    assert level == 1
+
+    other = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=9.0)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, other)
+
+
+def test_assert_finite_raises():
+    with pytest.raises(FloatingPointError):
+        assert_finite(jnp.array([1.0, np.nan]), "x")
+    assert_finite(jnp.array([1.0, 2.0]), "x")  # no raise
+
+
+def test_divergence_guard():
+    errs = np.concatenate([np.full(5, 0.01), np.full(5, 0.5)])
+    assert divergence_guard(errs, window=5, factor=10.0)
+    assert not divergence_guard(np.full(10, 0.01), window=5)
