@@ -116,6 +116,9 @@ class RegConfig:
     # relaxation sweep per iteration) or "spectral" (exact FFT solve of the
     # same system per iteration, periodic BCs — the north-star upgrade).
     navier_lame_solver: str = "sor"
+    # Curvature DCT implementation: "matmul" (MXU, max accuracy), "fft"
+    # (O(N log N)), or "auto" (fft for levels >= 256 on a side).
+    dct_impl: str = "auto"
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.

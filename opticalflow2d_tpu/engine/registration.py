@@ -76,7 +76,9 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         step = lambda u_est, d: diffusion_step(u_est, d, cfg.alpha)
     elif cfg.method == Method.CURVATURE:
         step = (lambda s: (lambda u_est, d: s(u_est, d)))(
-            make_curvature_step(nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype)
+            make_curvature_step(
+                nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype, cfg.dct_impl
+            )
         )
     elif cfg.method == Method.ELASTIC:
         if cfg.navier_lame_solver == "spectral":

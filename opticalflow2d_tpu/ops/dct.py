@@ -42,25 +42,60 @@ def _dct3_matrix(n: int) -> np.ndarray:
     return m
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+def _mm(a, b, precision=lax.Precision.HIGHEST):
+    return jnp.matmul(a, b, precision=precision)
 
 
-def dct2_fftw(a: jnp.ndarray) -> jnp.ndarray:
+def dct2_fftw(a: jnp.ndarray, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """2D DCT-II (FFTW REDFT10 x REDFT10) over the trailing two axes."""
     nx, ny = a.shape[-2], a.shape[-1]
     cx = jnp.asarray(_dct2_matrix(nx), a.dtype)
     cy = jnp.asarray(_dct2_matrix(ny), a.dtype)
-    return _mm(_mm(cx, a), cy.T)
+    return _mm(_mm(cx, a, precision), cy.T, precision)
 
 
-def idct2_fftw(a: jnp.ndarray) -> jnp.ndarray:
+def idct2_fftw(a: jnp.ndarray, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """2D DCT-III (FFTW REDFT01 x REDFT01) over the trailing two axes.
     ``idct2_fftw(dct2_fftw(x)) == 4 * nx * ny * x``."""
     nx, ny = a.shape[-2], a.shape[-1]
     cx = jnp.asarray(_dct3_matrix(nx), a.dtype)
     cy = jnp.asarray(_dct3_matrix(ny), a.dtype)
-    return _mm(_mm(cx, a), cy.T)
+    return _mm(_mm(cx, a, precision), cy.T, precision)
+
+
+def _dct1d_fft(x: jnp.ndarray, axis: int, inverse: bool = False) -> jnp.ndarray:
+    """1D REDFT10/REDFT01 along ``axis`` via the Makhoul FFT factorization —
+    O(N log N) replacement for the matmul path at large N. Matches the
+    matrix transforms to float rounding."""
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    k = jnp.arange(n)
+    if not inverse:
+        # Even-odd reorder, complex FFT, half-sample phase twiddle.
+        v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+        vf = jnp.fft.fft(v)
+        out = 2.0 * jnp.real(jnp.exp(-1j * jnp.pi * k / (2 * n)) * vf)
+    else:
+        xe = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+        u_spec = (xe[..., :n] - 1j * xe[..., n - k]) * jnp.exp(
+            1j * jnp.pi * k / (2 * n)
+        )
+        u = jnp.fft.ifft(u_spec) * n
+        half = (n + 1) // 2
+        out = jnp.zeros_like(x)
+        out = out.at[..., 0::2].set(jnp.real(u[..., :half]))
+        out = out.at[..., 1::2].set(jnp.real(u[..., n - 1 : half - 1 : -1]))
+    return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+
+
+def dct2_fft(a: jnp.ndarray) -> jnp.ndarray:
+    """2D DCT-II (FFTW REDFT10 x2) via FFT over the trailing two axes."""
+    return _dct1d_fft(_dct1d_fft(a, -1), -2)
+
+
+def idct2_fft(a: jnp.ndarray) -> jnp.ndarray:
+    """2D DCT-III (FFTW REDFT01 x2) via FFT over the trailing two axes."""
+    return _dct1d_fft(_dct1d_fft(a, -1, inverse=True), -2, inverse=True)
 
 
 def curvature_eigenvalues(

@@ -133,3 +133,23 @@ def test_fluid_redblack_converged_quality(pair):
     # At least as good a registration (within 25%) as the reference run.
     assert ssd_ours < ssd0 * 0.2
     assert ssd_ours < ssd_oracle * 1.25 + 1e-3
+
+
+def test_fluid_multirefine_bit_parity(pair):
+    # Exercises velocity persistence across refinement loops (the reference
+    # solver's member state, OpticalFlowFluid velocity warm start).
+    u, u_ref, res = _run_both(
+        pair, Method.FLUID, [0.25, 0.0], [15, 15], 1, nrefine=2,
+        compat=COMPAT, sor_ordering="lexicographic",
+    )
+    assert endpoint_error(u, u_ref) < 1e-4
+    assert np.abs(u - u_ref).max() < 1e-3
+
+
+def test_demons_multiscale_refine_bit_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.THIRIONS_DEMONS, [1.0, 0.25, 2.0, 2.0, 5, 0],
+        [10, 8, 6], 2, nrefine=2, compat=COMPAT,
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 2e-4

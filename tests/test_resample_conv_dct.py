@@ -119,3 +119,33 @@ def test_curvature_eigenvalues_range():
     assert eig.shape == (32, 32)
     assert eig[0, 0] == pytest.approx(1.0)  # zero frequency untouched
     assert np.all(eig > 0) and np.all(eig <= 1.0)
+
+
+def test_dct_fft_matches_matmul(rng):
+    from opticalflow2d_tpu.ops.dct import dct2_fft, idct2_fft
+
+    for shape in [(16, 24), (15, 9), (32, 32)]:
+        a = rng.standard_normal(shape).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(dct2_fft(jnp.asarray(a))),
+            np.asarray(dct2_fftw(jnp.asarray(a))),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(idct2_fft(jnp.asarray(a))),
+            np.asarray(idct2_fftw(jnp.asarray(a))),
+            rtol=1e-4, atol=1e-3,
+        )
+
+
+def test_curvature_fft_impl_matches_matmul(rng):
+    from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+    from opticalflow2d_tpu.solvers.base import derivatives
+
+    iref = rng.standard_normal((32, 28)).astype(np.float32)
+    imov = rng.standard_normal((32, 28)).astype(np.float32)
+    d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
+    u = jnp.asarray(0.1 * rng.standard_normal((2, 32, 28)).astype(np.float32))
+    a = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul")(u, d)
+    b = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="fft")(u, d)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
