@@ -119,6 +119,14 @@ class RegConfig:
     # Curvature DCT implementation: "matmul" (MXU, max accuracy), "fft"
     # (O(N log N)), or "auto" (fft for levels >= 256 on a side).
     dct_impl: str = "auto"
+    # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
+    # masked circular shifts when every in-bounds sample's floor offset is
+    # within this many pixels (runtime-checked; exact-gather fallback
+    # otherwise). 0 disables the fast path. Results are identical either
+    # way. Cost (runtime AND compile time — the select-chain is (2h+2)^2
+    # shifted copies, compiled alongside the fallback branch) grows
+    # ~quadratically in the halo; 2-3 is the practical range.
+    warp_halo: int = 2
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.

@@ -102,7 +102,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
 
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u)
+        iaux = warp2d(imov, u, cfg.warp_halo)
         d = derivatives(iref, iaux)
 
         def cond(carry):
@@ -121,7 +121,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est)
+        u = compose(u, u_est, cfg.warp_halo)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
     return u, traces
 
@@ -153,7 +153,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     velocity = jnp.zeros_like(u)
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u)
+        iaux = warp2d(imov, u, cfg.warp_halo)
         d = derivatives(iref, iaux)
 
         def cond(carry):
@@ -180,8 +180,8 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
             def regrid(args):
                 u_tot, u_new, grad_i, it_img = args
-                u_tot2 = compose(u_tot, u_new)
-                iaux2 = warp2d(imov, u_tot2)
+                u_tot2 = compose(u_tot, u_new, cfg.warp_halo)
+                iaux2 = warp2d(imov, u_tot2, cfg.warp_halo)
                 d2 = derivatives(iref, iaux2)
                 return u_tot2, jnp.zeros_like(u_new), d2.grad_i, d2.it
 
@@ -201,7 +201,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0),
         )
         u, u_est, _, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est)
+        u = compose(u, u_est, cfg.warp_halo)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, nregrid))
     return u, traces
 
@@ -216,11 +216,12 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         accumulation=cfg.accumulation,
         conv_flatwrap=cfg.compat.conv_flatwrap,
         maxabs_bug=cfg.compat.maxabs_bug,
+        warp_halo=cfg.warp_halo,
     )
 
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u)
+        iaux = warp2d(imov, u, cfg.warp_halo)
 
         def cond(carry):
             _, _, it, conv, _ = carry
@@ -238,7 +239,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est)
+        u = compose(u, u_est, cfg.warp_halo)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
     return u, traces
 
@@ -256,6 +257,13 @@ def _register_impl(iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig):
     iref = iref.astype(dtype)
     imov = imov.astype(dtype)
     dims = pyramid_dims(iref.shape, cfg.nscales)
+    if min(dims[-1]) < 4:
+        # The reference would index out of bounds here (dims are truncated
+        # by 2^s with no validation); we fail loudly instead.
+        raise ValueError(
+            f"nscales={cfg.nscales} shrinks the coarsest level to "
+            f"{dims[-1]}; every level needs at least 4 pixels per side"
+        )
 
     # Each pyramid level is downsampled directly from full resolution, as the
     # reference does on set_reference_image/set_moving_image

@@ -18,13 +18,16 @@ from opticalflow2d_tpu.ops.warp import warp2d
 from opticalflow2d_tpu.ops.grid import jacobian_det
 
 
+# warp_halo=0 keeps CI compile time down (the roll fast path is covered by
+# dedicated equivalence tests in test_warp.py and one default-config test
+# below).
 ALL_METHODS = [
-    (Method.DIFFUSION, dict(alpha=0.5)),
-    (Method.CURVATURE, dict(alpha=0.1, tau=1.0)),
-    (Method.ELASTIC, dict(mu=0.5, lam=0.0)),
-    (Method.THIRIONS_DEMONS, {}),
-    (Method.DIFFEOMORPHIC_DEMONS, {}),
-    (Method.FLUID, dict(mu=0.25, lam=0.0)),
+    (Method.DIFFUSION, dict(alpha=0.5, warp_halo=0)),
+    (Method.CURVATURE, dict(alpha=0.1, tau=1.0, warp_halo=0)),
+    (Method.ELASTIC, dict(mu=0.5, lam=0.0, warp_halo=0)),
+    (Method.THIRIONS_DEMONS, dict(warp_halo=0)),
+    (Method.DIFFEOMORPHIC_DEMONS, dict(warp_halo=0)),
+    (Method.FLUID, dict(mu=0.25, lam=0.0, warp_halo=0)),
 ]
 
 
@@ -49,6 +52,8 @@ def test_ssd_reduction_on_translated_pair(method, kw):
 
 
 def test_translation_recovery_demons():
+    # Runs with the DEFAULT config (warp_halo fast path included) so the
+    # production path gets end-to-end coverage.
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
     cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(80, 40), nscales=1)
     res = register(iref, imov, cfg)
@@ -61,7 +66,9 @@ def test_translation_recovery_demons():
 
 def test_diffeomorphic_demons_positive_jacobian():
     iref, imov = make_pair(48, 40, shift=(2.5, -1.5))
-    cfg = RegConfig(method=Method.DIFFEOMORPHIC_DEMONS, niter=(60, 30), nscales=1)
+    cfg = RegConfig(
+        method=Method.DIFFEOMORPHIC_DEMONS, niter=(60, 30), nscales=1, warp_halo=0
+    )
     res = register(iref, imov, cfg)
     jac = np.asarray(jacobian_det(res.motion))
     # Away from the boundary bands (where renormalized warping/smoothing can
@@ -98,7 +105,7 @@ def test_traces_shape_and_order():
 
 def test_nonsquare_and_odd_dims():
     iref, imov = make_pair(37, 51, shift=(1.0, -0.5))
-    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25)
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, warp_halo=0)
     res = register(iref, imov, cfg)
     assert res.motion.shape == (2, 37, 51)
     assert np.isfinite(np.asarray(res.motion)).all()
@@ -157,12 +164,19 @@ class TestSession:
 
 def test_compat_flags_change_results():
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
-    base = RegConfig(method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25)
+    base = RegConfig(method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0)
     bug = RegConfig(
-        method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25,
+        method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0,
         compat=CompatFlags(maxabs_bug=True),
     )
     u_a = np.asarray(register(iref, imov, base).motion)
     u_b = np.asarray(register(iref, imov, bug).motion)
     # The maxabs bug changes the adaptive timestep sequence.
     assert not np.allclose(u_a, u_b)
+
+
+def test_too_deep_pyramid_raises():
+    iref, imov = make_pair(32, 28)
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(5,) * 5, nscales=4, alpha=0.5)
+    with pytest.raises(ValueError, match="coarsest level"):
+        register(iref, imov, cfg)

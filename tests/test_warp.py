@@ -84,3 +84,29 @@ def test_expmap_positive_jacobian(rng):
     out = expmap(jnp.asarray(v))
     jac = np.asarray(jacobian_det(out))
     assert (jac[2:-2, 2:-2] > 0).mean() > 0.97
+
+
+def test_warp_rolls_fast_path_matches_exact(rng):
+    # Bounded displacement: the roll-based path must match the exact gather.
+    img = rng.standard_normal((24, 20)).astype(np.float32)
+    u = (2.5 * rng.standard_normal((2, 24, 20))).astype(np.float32)
+    a = np.asarray(warp2d(jnp.asarray(img), jnp.asarray(u), halo=0))
+    b = np.asarray(warp2d(jnp.asarray(img), jnp.asarray(u), halo=4))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_warp_halo_fallback_when_exceeded(rng):
+    # Displacements beyond the halo must take the exact path (identical out).
+    img = rng.standard_normal((24, 20)).astype(np.float32)
+    u = (6.0 * rng.standard_normal((2, 24, 20))).astype(np.float32)
+    a = np.asarray(warp2d(jnp.asarray(img), jnp.asarray(u), halo=0))
+    b = np.asarray(warp2d(jnp.asarray(img), jnp.asarray(u), halo=2))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_compose_rolls_fast_path_matches_exact(rng):
+    u_total = (3.0 * rng.standard_normal((2, 18, 22))).astype(np.float32)
+    u_inc = (1.5 * rng.standard_normal((2, 18, 22))).astype(np.float32)
+    a = np.asarray(compose(jnp.asarray(u_total), jnp.asarray(u_inc), halo=0))
+    b = np.asarray(compose(jnp.asarray(u_total), jnp.asarray(u_inc), halo=3))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
