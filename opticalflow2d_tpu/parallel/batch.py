@@ -5,6 +5,14 @@ of image pairs and shards the batch axis over the mesh's ``"data"`` axis.
 Under vmap the per-pair ``while_loop`` convergence gates become masked
 iterations (a pair that converged early idles until the batch maximum), which
 preserves per-pair results exactly while keeping the computation SPMD.
+
+Performance note: under vmap, ``lax.cond`` branches execute unconditionally
+(batched select), so the warp fast path's exact-gather fallback and the
+fluid regrid branch run every iteration for every pair. Batching therefore
+amortizes well for the variational solvers (diffusion/curvature/elastic)
+but is counterproductive on a single chip for the gather-heavy
+demons/fluid paths — loop single-pair ``register`` calls there, or give
+each mesh device one pair so the per-device program stays unbatched.
 """
 
 from __future__ import annotations
@@ -14,27 +22,52 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from opticalflow2d_tpu.config import RegConfig
+from opticalflow2d_tpu.config import Method, RegConfig
 from opticalflow2d_tpu.engine.registration import _register_impl, RegistrationResult
+
+# Methods whose inner loops contain data-dependent lax.cond branches
+# (gather fallbacks, regridding) that vmap would force to both-execute.
+_COND_HEAVY = (Method.THIRIONS_DEMONS, Method.DIFFEOMORPHIC_DEMONS, Method.FLUID)
+
+
+def _map_local(irefs, imovs, cfg):
+    """Sequential per-pair registration (lax.map keeps lax.cond as real
+    branching, unlike vmap's both-branch select)."""
+    return lax.map(lambda rm: _register_impl(rm[0], rm[1], cfg), (irefs, imovs))
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_batch(cfg: RegConfig, mesh: Optional[Mesh]):
-    fn = jax.vmap(lambda r, m: _register_impl(r, m, cfg))
+def _jitted_batch(cfg: RegConfig, mesh: Optional[Mesh], impl: str):
+    if impl == "vmap":
+        fn = jax.vmap(lambda r, m: _register_impl(r, m, cfg))
+        if mesh is None:
+            return jax.jit(fn)
+        data_sharding = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            fn,
+            in_shardings=(data_sharding, data_sharding),
+            out_shardings=data_sharding,
+        )
+    # impl == "map": per-device unbatched programs; across devices via
+    # shard_map so each device runs its local pairs sequentially.
     if mesh is None:
-        return jax.jit(fn)
-    data_sharding = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        fn,
-        in_shardings=(data_sharding, data_sharding),
-        out_shardings=data_sharding,
+        return jax.jit(lambda r, m: _map_local(r, m, cfg))
+    fn = shard_map(
+        lambda r, m: _map_local(r, m, cfg),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
     )
+    return jax.jit(fn)
 
 
 def register_batch(
-    irefs, imovs, cfg: RegConfig, mesh: Optional[Mesh] = None
+    irefs, imovs, cfg: RegConfig, mesh: Optional[Mesh] = None,
+    impl: str = "auto",
 ) -> RegistrationResult:
     """Register a batch of pairs.
 
@@ -43,6 +76,9 @@ def register_batch(
       cfg: static registration config.
       mesh: optional mesh with a ``"data"`` axis; the batch is sharded over
         it (B must be divisible by the axis size).
+      impl: "vmap" (SPMD-batched; best for the variational solvers),
+        "map" (per-pair programs, sequential within each device — preserves
+        real cond branching for demons/fluid), or "auto" (picks by method).
 
     Returns:
       ``RegistrationResult`` with a leading batch axis on every leaf
@@ -59,4 +95,8 @@ def register_batch(
         nd = mesh.shape["data"]
         if b % nd != 0:
             raise ValueError(f"batch {b} not divisible by data-axis size {nd}")
-    return _jitted_batch(cfg, mesh)(irefs, imovs)
+    if impl == "auto":
+        impl = "map" if cfg.method in _COND_HEAVY and cfg.warp_halo > 0 else "vmap"
+    if impl not in ("vmap", "map"):
+        raise ValueError(f"unknown impl {impl!r}")
+    return _jitted_batch(cfg, mesh, impl)(irefs, imovs)

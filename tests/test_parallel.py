@@ -129,3 +129,30 @@ def test_curvature_step_sharded_matches_serial():
     np.testing.assert_allclose(
         np.asarray(u_a), np.asarray(u_b), rtol=1e-4, atol=1e-5
     )
+
+
+def test_register_batch_map_impl_matches_vmap():
+    irefs, imovs = _batch_pairs(3)
+    cfg_fluid = RegConfig(
+        method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, lam=0.0
+    )
+    res_map = register_batch(irefs, imovs, cfg_fluid, impl="map")
+    res_vmap = register_batch(irefs, imovs, cfg_fluid, impl="vmap")
+    np.testing.assert_allclose(
+        np.asarray(res_map.motion), np.asarray(res_vmap.motion),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@requires_8
+def test_register_batch_map_impl_on_mesh():
+    mesh = make_mesh(data=4, x=1)
+    irefs, imovs = _batch_pairs(4)
+    cfg_fluid = RegConfig(
+        method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, lam=0.0
+    )
+    res = register_batch(irefs, imovs, cfg_fluid, mesh=mesh, impl="map")
+    serial = register(irefs[0], imovs[0], cfg_fluid)
+    np.testing.assert_allclose(
+        np.asarray(res.motion[0]), np.asarray(serial.motion), rtol=1e-4, atol=1e-5
+    )
