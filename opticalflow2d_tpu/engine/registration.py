@@ -252,7 +252,9 @@ def _solve_level(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     return _solve_level_demons(u, iref, imov, cfg, niter, scale)
 
 
-def _register_impl(iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig):
+def _register_impl(
+    iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig, initial_motion=None
+):
     dtype = cfg.jnp_dtype
     iref = iref.astype(dtype)
     imov = imov.astype(dtype)
@@ -274,13 +276,25 @@ def _register_impl(iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig):
         irefs[s] = downsample_image(iref, dims[s])
         imovs[s] = downsample_image(imov, dims[s])
 
-    u_full = jnp.zeros((2,) + dims[0], dtype)
+    if initial_motion is not None:
+        # Warm start (checkpoint resume / sequential registration): the
+        # initial full-resolution field seeds every level exactly as the
+        # reference's persistent motion[0] would on a repeated register call.
+        u_full = jnp.asarray(initial_motion, dtype)
+    else:
+        u_full = jnp.zeros((2,) + dims[0], dtype)
     traces = []
     for s in range(cfg.nscales, -1, -1):
         if s == cfg.nscales and s > 0:
-            # Coarsest level starts from zero: the reference skips the motion
-            # downsample at s == nscales (ImageRegistration.cpp:137-139).
-            u_s = jnp.zeros((2,) + dims[s], dtype)
+            if initial_motion is not None:
+                # Mirrors the reference's repeated-register behavior where
+                # motion[nscales] persists; seed it from the warm start.
+                u_s = downsample_motion(u_full, dims[s])
+            else:
+                # Coarsest level starts from zero: the reference skips the
+                # motion downsample at s == nscales
+                # (ImageRegistration.cpp:137-139).
+                u_s = jnp.zeros((2,) + dims[s], dtype)
         elif 0 < s < cfg.nscales:
             u_s = downsample_motion(u_full, dims[s])
         else:  # s == 0
@@ -300,11 +314,13 @@ def _register_impl(iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_register(cfg: RegConfig):
+def _jitted_register(cfg: RegConfig, warm: bool):
+    if warm:
+        return jax.jit(lambda iref, imov, u0: _register_impl(iref, imov, cfg, u0))
     return jax.jit(lambda iref, imov: _register_impl(iref, imov, cfg))
 
 
-def register(iref, imov, cfg: RegConfig) -> RegistrationResult:
+def register(iref, imov, cfg: RegConfig, initial_motion=None) -> RegistrationResult:
     """Estimate the motion field u with T(x + u) ~= R(x).
 
     Args:
@@ -312,6 +328,9 @@ def register(iref, imov, cfg: RegConfig) -> RegistrationResult:
       imov: moving image ``[nx, ny]``.
       cfg: registration configuration (static; one XLA compilation per
         distinct (cfg, shape)).
+      initial_motion: optional ``[2, nx, ny]`` warm-start field (checkpoint
+        resume, sequential frames); equivalent to the reference's persistent
+        motion state across repeated register calls.
 
     Returns:
       ``RegistrationResult(motion=[2, nx, ny], traces=...)``.
@@ -322,4 +341,12 @@ def register(iref, imov, cfg: RegConfig) -> RegistrationResult:
         raise ValueError(
             f"iref/imov must be matching 2D images, got {iref.shape} vs {imov.shape}"
         )
-    return _jitted_register(cfg)(iref, imov)
+    if initial_motion is not None:
+        u0 = jnp.asarray(initial_motion)
+        if u0.shape != (2,) + iref.shape:
+            raise ValueError(
+                f"initial_motion must be [2, {iref.shape[0]}, {iref.shape[1]}], "
+                f"got {u0.shape}"
+            )
+        return _jitted_register(cfg, True)(iref, imov, u0)
+    return _jitted_register(cfg, False)(iref, imov)

@@ -180,3 +180,29 @@ def test_too_deep_pyramid_raises():
     cfg = RegConfig(method=Method.DIFFUSION, niter=(5,) * 5, nscales=4, alpha=0.5)
     with pytest.raises(ValueError, match="coarsest level"):
         register(iref, imov, cfg)
+
+
+def test_warm_start_resume_matches_continued_session():
+    # A warm-started registration from a checkpointed field should improve
+    # on the checkpoint (and the warm start must be accepted by the jit).
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(15, 10), nscales=1,
+                    alpha=0.5, warp_halo=0)
+    first = register(iref, imov, cfg)
+    resumed = register(iref, imov, cfg, initial_motion=first.motion)
+    from opticalflow2d_tpu.metrics import warped_ssd
+
+    s_first = float(warped_ssd(jnp.asarray(iref), jnp.asarray(imov), first.motion))
+    s_resumed = float(warped_ssd(jnp.asarray(iref), jnp.asarray(imov), resumed.motion))
+    assert s_resumed <= s_first * 1.01
+
+
+def test_metrics_module():
+    from opticalflow2d_tpu.metrics import endpoint_error, ssd_reduction
+
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(40, 20), nscales=1,
+                    warp_halo=0)
+    res = register(iref, imov, cfg)
+    assert float(ssd_reduction(jnp.asarray(iref), jnp.asarray(imov), res.motion)) > 0.8
+    assert float(endpoint_error(res.motion, res.motion)) == 0.0
