@@ -98,6 +98,127 @@ def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.where(border, 0.0, q)
 
 
+def _halo_exchange_k(f: jnp.ndarray, k: int, axis_name: str):
+    """Exchange k-row halos along the sharded x axis. Returns (top, bot)
+    blocks of shape ``[..., k, ny]`` (zeros at the global boundary)."""
+    n = lax.psum(1, axis_name)
+    send_down = [(i, i + 1) for i in range(n - 1)]
+    send_up = [(i + 1, i) for i in range(n - 1)]
+    top = lax.ppermute(f[..., -k:, :], axis_name, send_down)
+    bot = lax.ppermute(f[..., :k, :], axis_name, send_up)
+    return top, bot
+
+
+def make_sor_sweeps_sharded(
+    mesh: Mesh,
+    mu: float,
+    lam: float,
+    omega: float,
+    niter: int,
+    reference_stencil: bool = True,
+):
+    """Red-black Navier-Lame SOR sweeps with explicit 1-row ICI halo
+    exchange per half-sweep. Signature: ``(x [2,nx,ny], b [2,nx,ny]) -> x``
+    with both sharded ``P(None, 'x', None)``.
+
+    Matches the unsharded ``solvers.elastic.sor_sweep`` exactly: the
+    red/black masks use global row indices, borders stay untouched, and the
+    stencil (including the reference's asymmetric y-term) is identical —
+    only the neighbour fetch differs (ppermute halos instead of pad).
+    """
+    from opticalflow2d_tpu.solvers.elastic import _gs_candidate
+
+    spec_u = P(None, "x", None)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec_u, spec_u), out_specs=spec_u,
+        check_vma=False,
+    )
+    def sweeps(x, b):
+        nxl, ny = x.shape[-2], x.shape[-1]
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
+        red = ((gi + gj) % 2 == 0) & interior
+        black = ((gi + gj) % 2 == 1) & interior
+
+        def half_sweep(x, mask, b_pad):
+            # Pad local block with exchanged halos so _gs_candidate's
+            # pad-based shifts see the neighbour rows.
+            top, bot = _halo_exchange_k(x, 1, "x")
+            xp = jnp.concatenate([top, x, bot], axis=-2)
+            cand = _gs_candidate(xp, b_pad, mu, lam, omega, reference_stencil)
+            cand = cand[:, 1:-1, :]
+            return jnp.where(mask, cand, x)
+
+        # b is only read at interior points of the candidate; pad to match.
+        zrow = jnp.zeros((2, 1, ny), x.dtype)
+        b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
+
+        def body(_, x):
+            x = half_sweep(x, red, b_pad)
+            x = half_sweep(x, black, b_pad)
+            return x
+
+        return lax.fori_loop(0, niter, body, x)
+
+    return jax.jit(sweeps)
+
+
+def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
+    """Boundary-renormalized separable Gaussian smoothing with k/2-row ICI
+    halo exchange; matches ``ops.conv.convolve2d_clip`` exactly.
+    Signature: ``f [..., nx, ny] -> f`` sharded ``P(..., 'x', None)``."""
+    from opticalflow2d_tpu.ops.conv import gaussian_kernel_1d, _sepconv_axis
+
+    c = (width - 1) // 2
+    g = gaussian_kernel_1d(sigma, width)
+
+    def smooth_local(f, axis_name="x"):
+        # x-direction conv needs c halo rows; renormalization denominator
+        # needs the global row position.
+        top, bot = _halo_exchange_k(f, c, axis_name)
+        fp = jnp.concatenate([top, f, bot], axis=-2)
+        num = _sepconv_axis(fp, g, fp.ndim - 2)
+        num = num[..., c:-c, :]
+        num = _sepconv_axis(num, g, num.ndim - 1)
+
+        nxl, ny = f.shape[-2], f.shape[-1]
+        idx = lax.axis_index(axis_name)
+        n = lax.psum(1, axis_name)
+        nx_glob = n * nxl
+        gi = (lax.broadcasted_iota(jnp.int32, (nxl, 1), 0) + idx * nxl).astype(f.dtype)
+        gj = lax.broadcasted_iota(jnp.int32, (1, ny), 1).astype(f.dtype)
+        # denominator: sum of in-bounds taps = separable 1D sums of clipped
+        # windows, computed from global positions.
+        taps = jnp.asarray(g, f.dtype)
+
+        def den_1d(pos, nglob):
+            # pos [..., 1] broadcastable; den(pos) = sum_t g[t] * [0 <= pos+t-c < n]
+            total = jnp.zeros_like(pos)
+            for t in range(width):
+                off = t - c
+                total = total + taps[t] * (
+                    (pos + off >= 0) & (pos + off <= nglob - 1)
+                ).astype(f.dtype)
+            return total
+
+        den = den_1d(gi, nx_glob) * den_1d(gj, ny)
+        return num / den
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, "x", None),),
+        out_specs=P(None, "x", None), check_vma=False,
+    )
+    def smooth(f):
+        return smooth_local(f)
+
+    return jax.jit(smooth)
+
+
 def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     """Build a jitted function running ``niter`` Horn-Schunck sweeps with
     explicit ICI halo exchange; inputs/outputs sharded in x-strips.

@@ -156,3 +156,51 @@ def test_register_batch_map_impl_on_mesh():
     np.testing.assert_allclose(
         np.asarray(res.motion[0]), np.asarray(serial.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_sor_sweeps_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.spatial import make_sor_sweeps_sharded
+    from opticalflow2d_tpu.solvers.elastic import sor_sweep
+
+    mesh = make_mesh(data=1, x=8)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 40)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 64, 40)).astype(np.float32))
+
+    sweeps = make_sor_sweeps_sharded(mesh, 0.5, 0.1, 0.66, niter=5)
+    got = sweeps(x, b)
+
+    want = x
+    for _ in range(5):
+        want = sor_sweep(want, b, 0.5, 0.1, 0.66)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@requires_8
+def test_gaussian_smooth_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.spatial import make_gaussian_smooth_sharded
+    from opticalflow2d_tpu.ops.conv import convolve2d_clip
+
+    mesh = make_mesh(data=1, x=8)
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.standard_normal((2, 64, 40)).astype(np.float32))
+
+    smooth = make_gaussian_smooth_sharded(mesh, 2.0, 5)
+    got = smooth(f)
+    want = convolve2d_clip(f, 2.0, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@requires_8
+def test_register_sharded_demons_matches_serial():
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(8, 4), nscales=1,
+                    warp_halo=2)
+    res_sharded = register_sharded(iref, imov, cfg, mesh)
+    res_serial = register(iref, imov, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.motion), np.asarray(res_serial.motion),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -206,3 +206,15 @@ def test_metrics_module():
     res = register(iref, imov, cfg)
     assert float(ssd_reduction(jnp.asarray(iref), jnp.asarray(imov), res.motion)) > 0.8
     assert float(endpoint_error(res.motion, res.motion)) == 0.0
+
+
+@pytest.mark.parametrize("shape", [(4, 4), (5, 7), (8, 5)])
+def test_tiny_images_do_not_crash(shape):
+    rng = np.random.default_rng(1)
+    iref = rng.standard_normal(shape).astype(np.float32)
+    imov = rng.standard_normal(shape).astype(np.float32)
+    for method, kw in [(Method.DIFFUSION, dict(alpha=0.5)),
+                       (Method.FLUID, dict(mu=0.25))]:
+        cfg = RegConfig(method=method, niter=(5,), nscales=0, warp_halo=0, **kw)
+        res = register(iref, imov, cfg)
+        assert np.isfinite(np.asarray(res.motion)).all()
