@@ -45,18 +45,27 @@ static void write_raw(const char* path, const std::vector<double>& v) {
 #include <chrono>
 #include <cstring>
 #include <src/regularization/OpticalFlow/OpticalFlowDiffusion.h>
+#include <src/regularization/OpticalFlow/OpticalFlowCurvature.h>
+#include <src/regularization/OpticalFlow/OpticalFlowElastic.h>
+#include <src/regularization/OpticalFlow/OpticalFlowFluid.h>
+#include <src/regularization/Demons/DemonsThirions.h>
+#include <src/regularization/Demons/DemonsDiffeomorphic.h>
 
-// Kernel benchmark mode: time `iters` raw diffusion get_update calls on a
-// synthetic pair (no pyramid, no convergence gate) — the single-core CPU
-// baseline for the Mpixels/s solver-throughput metric (BASELINE.md).
+// Kernel benchmark mode: time `iters` raw get_update calls on a synthetic
+// pair (no pyramid, no convergence gate) — the single-core CPU baseline for
+// the Mpixels/s solver-throughput metric (BASELINE.md).
+// usage: oracle bench <nx> <ny> <iters> [solver]
+//   solver: diffusion (default) | curvature | elastic | fluid |
+//           thirions | diffeo
 static int bench_main(int argc, char** argv) {
-    if (argc != 5) {
-        std::fprintf(stderr, "usage: %s bench nx ny iters\n", argv[0]);
+    if (argc != 5 && argc != 6) {
+        std::fprintf(stderr, "usage: %s bench nx ny iters [solver]\n", argv[0]);
         return 2;
     }
     const int nx = std::atoi(argv[2]);
     const int ny = std::atoi(argv[3]);
     const int iters = std::atoi(argv[4]);
+    const char* name = argc == 6 ? argv[5] : "diffusion";
     const dim dimin((unsigned)nx, (unsigned)ny);
     const size_t size = (size_t)nx * ny;
 
@@ -72,22 +81,44 @@ static int bench_main(int argc, char** argv) {
     Iref.set_image(a.data());
     Imov.set_image(b.data());
 
-    OpticalFlowDiffusion solver(dimin, 0.5f);
+    IterativeSolver* solver = NULL;
+    bool demons = false;
+    if (std::strcmp(name, "diffusion") == 0) {
+        solver = new OpticalFlowDiffusion(dimin, 0.5f);
+    } else if (std::strcmp(name, "curvature") == 0) {
+        solver = new OpticalFlowCurvature(dimin, 0.1f, 1.0f);
+    } else if (std::strcmp(name, "elastic") == 0) {
+        solver = new OpticalFlowElastic(dimin, 0.5f, 0.0f);
+    } else if (std::strcmp(name, "fluid") == 0) {
+        solver = new OpticalFlowFluid(dimin, 0.25f, 0.0f);
+    } else if (std::strcmp(name, "thirions") == 0) {
+        solver = new DemonsThirions(dimin, 1.0f, 0.25f, 2.0f, 2.0f, 5,
+                                    MotionAccumulation::Composition);
+        demons = true;
+    } else if (std::strcmp(name, "diffeo") == 0) {
+        solver = new DemonsDiffeomorphic(dimin, 1.0f, 0.25f, 2.0f, 2.0f, 5);
+        demons = true;
+    } else {
+        std::fprintf(stderr, "unknown solver %s\n", name);
+        return 2;
+    }
+
     Motion motion(dimin);
-    solver.set_derivatives(&Iref, &Imov);
+    if (!demons) solver->set_derivatives(&Iref, &Imov);
     // warmup
-    solver.get_update(&motion);
+    solver->get_update(&motion, &Iref, &Imov);
 
     auto t0 = std::chrono::steady_clock::now();
     for (int k = 0; k < iters; k++) {
-        solver.get_update(&motion);
+        solver->get_update(&motion, &Iref, &Imov);
     }
     auto t1 = std::chrono::steady_clock::now();
     double sec = std::chrono::duration<double>(t1 - t0).count();
     double mpix_s = (double)size * iters / sec / 1e6;
-    std::printf("{\"pixels\": %zu, \"iters\": %d, \"seconds\": %.6f, "
-                "\"mpixels_per_s\": %.3f}\n",
-                size, iters, sec, mpix_s);
+    std::printf("{\"solver\": \"%s\", \"pixels\": %zu, \"iters\": %d, "
+                "\"seconds\": %.6f, \"mpixels_per_s\": %.3f}\n",
+                name, size, iters, sec, mpix_s);
+    delete solver;
     return 0;
 }
 
