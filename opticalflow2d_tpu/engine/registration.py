@@ -73,7 +73,18 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
     update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
     nx, ny = iref.shape
     if cfg.method == Method.DIFFUSION:
-        step = lambda u_est, d: diffusion_step(u_est, d, cfg.alpha)
+        if cfg.use_pallas:
+            # Fused Pallas kernel (TPU Mosaic; use
+            # pltpu.force_tpu_interpret_mode() to trace it on CPU).
+            from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+                diffusion_step_pallas,
+            )
+
+            step = lambda u_est, d: diffusion_step_pallas(
+                u_est, d.grad_i, d.it, cfg.alpha
+            )
+        else:
+            step = lambda u_est, d: diffusion_step(u_est, d, cfg.alpha)
     elif cfg.method == Method.CURVATURE:
         step = (lambda s: (lambda u_est, d: s(u_est, d)))(
             make_curvature_step(

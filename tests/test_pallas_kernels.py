@@ -38,3 +38,19 @@ def test_diffusion_pallas_iterated(rng):
             u_a = diffusion_step_pallas(u_a, d.grad_i, d.it, alpha=0.5, tb=16)
             u_b = diffusion_step(u_b, d, 0.5)
     np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), rtol=1e-5, atol=1e-6)
+
+
+def test_register_with_pallas_diffusion_matches_jnp():
+    from opticalflow2d_tpu import register, RegConfig, Method
+
+    iref, imov = make_pair(32, 32, shift=(1.0, -0.5))
+    base = RegConfig(method=Method.DIFFUSION, niter=(10,), nscales=0,
+                     alpha=0.5, warp_halo=0)
+    pal = RegConfig(method=Method.DIFFUSION, niter=(10,), nscales=0,
+                    alpha=0.5, warp_halo=0, use_pallas=True)
+    want = register(iref, imov, base)
+    with pltpu.force_tpu_interpret_mode():
+        got = register(iref, imov, pal)
+    np.testing.assert_allclose(
+        np.asarray(got.motion), np.asarray(want.motion), rtol=1e-5, atol=1e-6
+    )
