@@ -49,10 +49,10 @@ def test_spectral_solver_inverts_discrete_operator(rng, mu, lam):
 
 def test_elastic_spectral_beats_sor_iteration_count():
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
-    sor = RegConfig(method=Method.ELASTIC, niter=(200,), nscales=0, mu=0.5, lam=0.0, warp_halo=0)
+    sor = RegConfig(method=Method.ELASTIC, niter=(200,), nscales=0, mu=0.5, lam=0.0, warp_halo=0, warp_halo_outer=0)
     spec = RegConfig(
         method=Method.ELASTIC, niter=(200,), nscales=0, mu=0.5, lam=0.0,
-        navier_lame_solver="spectral", warp_halo=0,
+        navier_lame_solver="spectral", warp_halo=0, warp_halo_outer=0,
     )
     res_sor = register(iref, imov, sor)
     res_spec = register(iref, imov, spec)
@@ -73,7 +73,7 @@ def test_fluid_spectral_registers():
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
     cfg = RegConfig(
         method=Method.FLUID, niter=(40, 20), nscales=1, mu=0.25, lam=0.0,
-        navier_lame_solver="spectral", warp_halo=0,
+        navier_lame_solver="spectral", warp_halo=0, warp_halo_outer=0,
     )
     res = register(iref, imov, cfg)
     war = np.asarray(warp2d(jnp.asarray(imov), res.motion))

@@ -45,9 +45,9 @@ def test_register_with_pallas_diffusion_matches_jnp():
 
     iref, imov = make_pair(32, 32, shift=(1.0, -0.5))
     base = RegConfig(method=Method.DIFFUSION, niter=(10,), nscales=0,
-                     alpha=0.5, warp_halo=0)
+                     alpha=0.5, warp_halo=0, warp_halo_outer=0)
     pal = RegConfig(method=Method.DIFFUSION, niter=(10,), nscales=0,
-                    alpha=0.5, warp_halo=0, use_pallas=True)
+                    alpha=0.5, warp_halo=0, warp_halo_outer=0, use_pallas=True)
     want = register(iref, imov, base)
     with pltpu.force_tpu_interpret_mode():
         got = register(iref, imov, pal)

@@ -32,7 +32,7 @@ def _batch_pairs(b=4, nx=32, ny=32):
     return np.stack(irefs), np.stack(imovs)
 
 
-CFG = RegConfig(method=Method.DIFFUSION, niter=(20, 10), nscales=1, alpha=0.5, warp_halo=0)
+CFG = RegConfig(method=Method.DIFFUSION, niter=(20, 10), nscales=1, alpha=0.5, warp_halo=0, warp_halo_outer=0)
 
 
 def test_register_batch_matches_serial():
@@ -61,7 +61,7 @@ def test_register_batch_sharded_on_mesh():
 def test_register_sharded_matches_serial():
     mesh = make_mesh(data=1, x=8)
     iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
-    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, lam=0.0, warp_halo=0)
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, lam=0.0, warp_halo=0, warp_halo_outer=0)
     res_sharded = register_sharded(iref, imov, cfg, mesh)
     res_serial = register(iref, imov, cfg)
     np.testing.assert_allclose(

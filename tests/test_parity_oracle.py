@@ -32,10 +32,11 @@ def pair():
 def _run_both(pair, method, params, niter, nscales, nrefine=1, **cfg_kw):
     iref, imov = pair
     u_ref, war_ref = run_oracle(iref, imov, nscales, nrefine, int(method), params, niter)
-    # warp_halo=0: the roll fast path is numerically identical (covered by
+    # warp_halo=0, warp_halo_outer=0: the roll fast path is numerically identical (covered by
     # test_warp.py equivalence tests); compiling both warp branches for every
     # parity config would dominate CI time.
     cfg_kw.setdefault("warp_halo", 0)
+    cfg_kw.setdefault("warp_halo_outer", 0)
     cfg = RegConfig.from_regparams(method, niter, nscales, params, nrefine, **cfg_kw)
     res = register(iref, imov, cfg)
     u = np.asarray(res.motion, np.float64)
@@ -126,7 +127,7 @@ def test_fluid_redblack_converged_quality(pair):
     iref, imov = pair
     u_ref, war_ref = run_oracle(iref, imov, 1, 1, 5, [0.25, 0.0], [25, 25])
     cfg = RegConfig.from_regparams(
-        Method.FLUID, [25, 25], 1, [0.25, 0.0], 1, compat=COMPAT, warp_halo=0
+        Method.FLUID, [25, 25], 1, [0.25, 0.0], 1, compat=COMPAT, warp_halo=0, warp_halo_outer=0
     )
     res = register(iref, imov, cfg)
     from opticalflow2d_tpu.ops.warp import warp2d

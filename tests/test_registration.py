@@ -18,16 +18,16 @@ from opticalflow2d_tpu.ops.warp import warp2d
 from opticalflow2d_tpu.ops.grid import jacobian_det
 
 
-# warp_halo=0 keeps CI compile time down (the roll fast path is covered by
+# warp_halo=0, warp_halo_outer=0 keeps CI compile time down (the roll fast path is covered by
 # dedicated equivalence tests in test_warp.py and one default-config test
 # below).
 ALL_METHODS = [
-    (Method.DIFFUSION, dict(alpha=0.5, warp_halo=0)),
-    (Method.CURVATURE, dict(alpha=0.1, tau=1.0, warp_halo=0)),
-    (Method.ELASTIC, dict(mu=0.5, lam=0.0, warp_halo=0)),
-    (Method.THIRIONS_DEMONS, dict(warp_halo=0)),
-    (Method.DIFFEOMORPHIC_DEMONS, dict(warp_halo=0)),
-    (Method.FLUID, dict(mu=0.25, lam=0.0, warp_halo=0)),
+    (Method.DIFFUSION, dict(alpha=0.5, warp_halo=0, warp_halo_outer=0)),
+    (Method.CURVATURE, dict(alpha=0.1, tau=1.0, warp_halo=0, warp_halo_outer=0)),
+    (Method.ELASTIC, dict(mu=0.5, lam=0.0, warp_halo=0, warp_halo_outer=0)),
+    (Method.THIRIONS_DEMONS, dict(warp_halo=0, warp_halo_outer=0)),
+    (Method.DIFFEOMORPHIC_DEMONS, dict(warp_halo=0, warp_halo_outer=0)),
+    (Method.FLUID, dict(mu=0.25, lam=0.0, warp_halo=0, warp_halo_outer=0)),
 ]
 
 
@@ -67,7 +67,7 @@ def test_translation_recovery_demons():
 def test_diffeomorphic_demons_positive_jacobian():
     iref, imov = make_pair(48, 40, shift=(2.5, -1.5))
     cfg = RegConfig(
-        method=Method.DIFFEOMORPHIC_DEMONS, niter=(60, 30), nscales=1, warp_halo=0
+        method=Method.DIFFEOMORPHIC_DEMONS, niter=(60, 30), nscales=1, warp_halo=0, warp_halo_outer=0
     )
     res = register(iref, imov, cfg)
     jac = np.asarray(jacobian_det(res.motion))
@@ -105,7 +105,7 @@ def test_traces_shape_and_order():
 
 def test_nonsquare_and_odd_dims():
     iref, imov = make_pair(37, 51, shift=(1.0, -0.5))
-    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, warp_halo=0)
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 5), nscales=1, mu=0.25, warp_halo=0, warp_halo_outer=0)
     res = register(iref, imov, cfg)
     assert res.motion.shape == (2, 37, 51)
     assert np.isfinite(np.asarray(res.motion)).all()
@@ -164,9 +164,9 @@ class TestSession:
 
 def test_compat_flags_change_results():
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
-    base = RegConfig(method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0)
+    base = RegConfig(method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0, warp_halo_outer=0)
     bug = RegConfig(
-        method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0,
+        method=Method.FLUID, niter=(15, 10), nscales=1, mu=0.25, warp_halo=0, warp_halo_outer=0,
         compat=CompatFlags(maxabs_bug=True),
     )
     u_a = np.asarray(register(iref, imov, base).motion)
@@ -187,7 +187,7 @@ def test_warm_start_resume_matches_continued_session():
     # on the checkpoint (and the warm start must be accepted by the jit).
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
     cfg = RegConfig(method=Method.DIFFUSION, niter=(15, 10), nscales=1,
-                    alpha=0.5, warp_halo=0)
+                    alpha=0.5, warp_halo=0, warp_halo_outer=0)
     first = register(iref, imov, cfg)
     resumed = register(iref, imov, cfg, initial_motion=first.motion)
     from opticalflow2d_tpu.metrics import warped_ssd
@@ -202,7 +202,7 @@ def test_metrics_module():
 
     iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
     cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(40, 20), nscales=1,
-                    warp_halo=0)
+                    warp_halo=0, warp_halo_outer=0)
     res = register(iref, imov, cfg)
     assert float(ssd_reduction(jnp.asarray(iref), jnp.asarray(imov), res.motion)) > 0.8
     assert float(endpoint_error(res.motion, res.motion)) == 0.0
@@ -215,6 +215,6 @@ def test_tiny_images_do_not_crash(shape):
     imov = rng.standard_normal(shape).astype(np.float32)
     for method, kw in [(Method.DIFFUSION, dict(alpha=0.5)),
                        (Method.FLUID, dict(mu=0.25))]:
-        cfg = RegConfig(method=method, niter=(5,), nscales=0, warp_halo=0, **kw)
+        cfg = RegConfig(method=method, niter=(5,), nscales=0, warp_halo=0, warp_halo_outer=0, **kw)
         res = register(iref, imov, cfg)
         assert np.isfinite(np.asarray(res.motion)).all()
