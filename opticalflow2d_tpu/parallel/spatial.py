@@ -219,6 +219,93 @@ def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
     return jax.jit(smooth)
 
 
+def make_warp2d_sharded(mesh: Mesh, halo: int):
+    """Blockwise backward warp with bounded-displacement halo exchange
+    (SURVEY.md §5: the SP-equivalent of the reference's warp window logic,
+    ``Image.cpp:144-151``).
+
+    Each x-strip exchanges ``halo+1`` rows with its neighbours over ICI and
+    gathers via the masked-roll select chain on the padded block — no
+    global collectives, communication is O(halo) per device. Requires every
+    in-bounds sample's floor offset to satisfy ``|dx - i| <= halo`` (and the
+    same in y, where the field is unsharded); violations raise at runtime
+    via a checked bound (jax.debug-free: the result is simply wrong for
+    uncovered pixels, so callers must respect the contract — the serial
+    ``warp2d`` with its runtime fallback is the safe general path).
+
+    Signature: ``(image [nx, ny], u [2, nx, ny]) -> warped [nx, ny]`` with
+    image/u sharded ``P('x', None)`` / ``P(None, 'x', None)``.
+    """
+    h1 = halo + 1
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("x", None), P(None, "x", None)),
+        out_specs=P("x", None),
+        check_vma=False,
+    )
+    def warp(img_loc, u_loc):
+        nxl, ny = img_loc.shape
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+
+        top, bot = _halo_exchange_k(img_loc, h1, "x")
+        img_pad = jnp.concatenate([top, img_loc, bot], axis=-2)  # [nxl+2h1, ny]
+
+        gi = (lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl)
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+        px = gi.astype(u_loc.dtype) + u_loc[0]
+        py = gj.astype(u_loc.dtype) + u_loc[1]
+        dx = jnp.floor(px)
+        dy = jnp.floor(py)
+        fx = (px - dx).astype(img_loc.dtype)
+        fy = (py - dy).astype(img_loc.dtype)
+        dxi = dx.astype(jnp.int32)
+        dyi = dy.astype(jnp.int32)
+        in_bounds = (dxi >= 0) & (dxi < nx_glob) & (dyi >= 0) & (dyi < ny)
+
+        rx = dxi - gi  # in [-halo, halo] by contract
+        ry = dyi - gj
+
+        lane_rolls = {
+            b: jnp.roll(img_pad, -b, axis=-1) for b in range(-halo, halo + 2)
+        }
+        rolls = {}
+
+        def rolled(a, b):
+            # padded row (h1 + r + a) holds global row (gi + a) for local r
+            if (a, b) not in rolls:
+                rolls[(a, b)] = jnp.roll(lane_rolls[b], -a, axis=-2)[h1:h1 + nxl, :]
+            return rolls[(a, b)]
+
+        g00 = jnp.zeros_like(img_loc)
+        g10 = jnp.zeros_like(img_loc)
+        g01 = jnp.zeros_like(img_loc)
+        g11 = jnp.zeros_like(img_loc)
+        for ox in range(-halo, halo + 1):
+            mx = rx == ox
+            for oy in range(-halo, halo + 1):
+                m = mx & (ry == oy)
+                g00 = jnp.where(m, rolled(ox, oy), g00)
+                g10 = jnp.where(m, rolled(ox + 1, oy), g10)
+                g01 = jnp.where(m, rolled(ox, oy + 1), g01)
+                g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+
+        has_x1 = dxi < nx_glob - 1
+        has_y1 = dyi < ny - 1
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
+        w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
+        w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
+        value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
+        weight = w00 + w10 + w01 + w11
+        ok = in_bounds & (weight != 0)
+        return jnp.where(ok, value / jnp.where(weight != 0, weight, 1.0), img_loc)
+
+    return jax.jit(warp)
+
+
 def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     """Build a jitted function running ``niter`` Horn-Schunck sweeps with
     explicit ICI halo exchange; inputs/outputs sharded in x-strips.

@@ -204,3 +204,23 @@ def test_register_sharded_demons_matches_serial():
         np.asarray(res_sharded.motion), np.asarray(res_serial.motion),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@requires_8
+def test_warp2d_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.spatial import make_warp2d_sharded
+    from opticalflow2d_tpu.ops.warp import warp2d
+
+    mesh = make_mesh(data=1, x=8)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((64, 40)).astype(np.float32))
+    # bounded displacement within the halo=3 contract (border pixels still
+    # exercise the out-of-bounds passthrough path)
+    u = jnp.asarray(
+        np.clip(2.5 * rng.standard_normal((2, 64, 40)), -2.9, 2.9).astype(np.float32)
+    )
+
+    warp = make_warp2d_sharded(mesh, halo=3)
+    got = warp(img, u)
+    want = warp2d(img, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
