@@ -168,16 +168,15 @@ def make_sor_sweeps_sharded(
     return jax.jit(sweeps)
 
 
-def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
-    """Boundary-renormalized separable Gaussian smoothing with k/2-row ICI
-    halo exchange; matches ``ops.conv.convolve2d_clip`` exactly.
-    Signature: ``f [..., nx, ny] -> f`` sharded ``P(..., 'x', None)``."""
+def _gaussian_local(f, sigma: float, width: int, axis_name: str = "x"):
+    """Module-level body of the sharded renormalized Gaussian smoothing
+    (shared by make_gaussian_smooth_sharded and the sharded demons step)."""
     from opticalflow2d_tpu.ops.conv import gaussian_kernel_1d, _sepconv_axis
 
     c = (width - 1) // 2
     g = gaussian_kernel_1d(sigma, width)
 
-    def smooth_local(f, axis_name="x"):
+    def smooth_local(f, axis_name=axis_name):
         # x-direction conv needs c halo rows; renormalization denominator
         # needs the global row position.
         top, bot = _halo_exchange_k(f, c, axis_name)
@@ -209,12 +208,20 @@ def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
         den = den_1d(gi, nx_glob) * den_1d(gj, ny)
         return num / den
 
+    return smooth_local(f)
+
+
+def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
+    """Boundary-renormalized separable Gaussian smoothing with k/2-row ICI
+    halo exchange; matches ``ops.conv.convolve2d_clip`` exactly.
+    Signature: ``f [..., nx, ny] -> f`` sharded ``P(..., 'x', None)``."""
+
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(None, "x", None),),
         out_specs=P(None, "x", None), check_vma=False,
     )
     def smooth(f):
-        return smooth_local(f)
+        return _gaussian_local(f, sigma, width)
 
     return jax.jit(smooth)
 
@@ -222,21 +229,15 @@ def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
 def make_warp2d_sharded(mesh: Mesh, halo: int):
     """Blockwise backward warp with bounded-displacement halo exchange
     (SURVEY.md §5: the SP-equivalent of the reference's warp window logic,
-    ``Image.cpp:144-151``).
-
-    Each x-strip exchanges ``halo+1`` rows with its neighbours over ICI and
-    gathers via the masked-roll select chain on the padded block — no
-    global collectives, communication is O(halo) per device. Requires every
-    in-bounds sample's floor offset to satisfy ``|dx - i| <= halo`` (and the
-    same in y, where the field is unsharded); violations raise at runtime
-    via a checked bound (jax.debug-free: the result is simply wrong for
-    uncovered pixels, so callers must respect the contract — the serial
-    ``warp2d`` with its runtime fallback is the safe general path).
+    ``Image.cpp:144-151``). Each x-strip exchanges ``halo+1`` rows with its
+    neighbours over ICI and gathers via the masked-roll select chain — no
+    global collectives, O(halo) communication per device. Requires every
+    in-bounds sample's floor offset within ``halo`` (the serial ``warp2d``
+    with its runtime fallback is the safe general path).
 
     Signature: ``(image [nx, ny], u [2, nx, ny]) -> warped [nx, ny]`` with
-    image/u sharded ``P('x', None)`` / ``P(None, 'x', None)``.
+    image sharded ``P('x', None)`` and u ``P(None, 'x', None)``.
     """
-    h1 = halo + 1
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -245,63 +246,7 @@ def make_warp2d_sharded(mesh: Mesh, halo: int):
         check_vma=False,
     )
     def warp(img_loc, u_loc):
-        nxl, ny = img_loc.shape
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-
-        top, bot = _halo_exchange_k(img_loc, h1, "x")
-        img_pad = jnp.concatenate([top, img_loc, bot], axis=-2)  # [nxl+2h1, ny]
-
-        gi = (lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl)
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-        px = gi.astype(u_loc.dtype) + u_loc[0]
-        py = gj.astype(u_loc.dtype) + u_loc[1]
-        dx = jnp.floor(px)
-        dy = jnp.floor(py)
-        fx = (px - dx).astype(img_loc.dtype)
-        fy = (py - dy).astype(img_loc.dtype)
-        dxi = dx.astype(jnp.int32)
-        dyi = dy.astype(jnp.int32)
-        in_bounds = (dxi >= 0) & (dxi < nx_glob) & (dyi >= 0) & (dyi < ny)
-
-        rx = dxi - gi  # in [-halo, halo] by contract
-        ry = dyi - gj
-
-        lane_rolls = {
-            b: jnp.roll(img_pad, -b, axis=-1) for b in range(-halo, halo + 2)
-        }
-        rolls = {}
-
-        def rolled(a, b):
-            # padded row (h1 + r + a) holds global row (gi + a) for local r
-            if (a, b) not in rolls:
-                rolls[(a, b)] = jnp.roll(lane_rolls[b], -a, axis=-2)[h1:h1 + nxl, :]
-            return rolls[(a, b)]
-
-        g00 = jnp.zeros_like(img_loc)
-        g10 = jnp.zeros_like(img_loc)
-        g01 = jnp.zeros_like(img_loc)
-        g11 = jnp.zeros_like(img_loc)
-        for ox in range(-halo, halo + 1):
-            mx = rx == ox
-            for oy in range(-halo, halo + 1):
-                m = mx & (ry == oy)
-                g00 = jnp.where(m, rolled(ox, oy), g00)
-                g10 = jnp.where(m, rolled(ox + 1, oy), g10)
-                g01 = jnp.where(m, rolled(ox, oy + 1), g01)
-                g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
-
-        has_x1 = dxi < nx_glob - 1
-        has_y1 = dyi < ny - 1
-        w00 = (1.0 - fx) * (1.0 - fy)
-        w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
-        w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
-        w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
-        value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
-        weight = w00 + w10 + w01 + w11
-        ok = in_bounds & (weight != 0)
-        return jnp.where(ok, value / jnp.where(weight != 0, weight, 1.0), img_loc)
+        return _warp_local(img_loc, u_loc, halo, "x")
 
     return jax.jit(warp)
 

@@ -224,3 +224,42 @@ def test_warp2d_sharded_matches_serial():
     got = warp(img, u)
     want = warp2d(img, u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@requires_8
+def test_demons_step_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.spatial import make_demons_step_sharded
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+    u0 = jnp.zeros((2, 64, 48))
+
+    sharded = make_demons_step_sharded(mesh, 1.0, 0.25, 2.0, 2.0, 5, halo=2)
+    serial = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, diffeomorphic=False)
+
+    u_a, u_b = u0, u0
+    for _ in range(4):
+        u_a = sharded(u_a, jnp.asarray(iref), jnp.asarray(imov))
+        u_b = serial(u_b, jnp.asarray(iref), jnp.asarray(imov))
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), rtol=1e-4, atol=1e-5)
+
+
+@requires_8
+def test_diffeo_demons_step_sharded_matches_serial():
+    from opticalflow2d_tpu.parallel.spatial import make_demons_step_sharded
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+    u0 = jnp.zeros((2, 64, 48))
+
+    sharded = make_demons_step_sharded(mesh, 1.0, 0.25, 2.0, 2.0, 5, halo=2,
+                                       diffeomorphic=True)
+    serial = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, diffeomorphic=True)
+
+    u_a, u_b = u0, u0
+    for _ in range(3):
+        u_a = sharded(u_a, jnp.asarray(iref), jnp.asarray(imov))
+        u_b = serial(u_b, jnp.asarray(iref), jnp.asarray(imov))
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), rtol=1e-4, atol=1e-5)
