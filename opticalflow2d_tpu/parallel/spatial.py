@@ -226,6 +226,166 @@ def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
     return jax.jit(smooth)
 
 
+def _bilinear_local(data_loc, px, py, halo: int, axis_name: str):
+    """Local-strip bilinear tap fetch via halo exchange + masked rolls.
+
+    ``data_loc [..., nxl, ny]``; ``px, py [nxl, ny]`` are GLOBAL sample
+    coordinates. Valid within the displacement contract ``|floor offset| <=
+    halo``. Returns (value, weight, in_bounds) with the reference's edge
+    renormalization and floor-cell bounds semantics.
+    """
+    nxl, ny = data_loc.shape[-2], data_loc.shape[-1]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    nx_glob = n * nxl
+    h1 = halo + 1
+
+    gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+    gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+
+    dx = jnp.floor(px)
+    dy = jnp.floor(py)
+    fx = px - dx
+    fy = py - dy
+    dxi = dx.astype(jnp.int32)
+    dyi = dy.astype(jnp.int32)
+    in_bounds = (dxi >= 0) & (dxi < nx_glob) & (dyi >= 0) & (dyi < ny)
+    rx = dxi - gi
+    ry = dyi - gj
+
+    top, bot = _halo_exchange_k(data_loc, h1, axis_name)
+    pad = jnp.concatenate([top, data_loc, bot], axis=-2)
+
+    lane_rolls = {b: jnp.roll(pad, -b, axis=-1) for b in range(-halo, halo + 2)}
+    rolls = {}
+
+    def rolled(a, b):
+        if (a, b) not in rolls:
+            rolls[(a, b)] = jnp.roll(lane_rolls[b], -a, axis=-2)[
+                ..., h1 : h1 + nxl, :
+            ]
+        return rolls[(a, b)]
+
+    z = jnp.zeros_like(data_loc)
+    g00, g10, g01, g11 = z, z, z, z
+    for ox in range(-halo, halo + 1):
+        mx = rx == ox
+        for oy in range(-halo, halo + 1):
+            m = mx & (ry == oy)
+            g00 = jnp.where(m, rolled(ox, oy), g00)
+            g10 = jnp.where(m, rolled(ox + 1, oy), g10)
+            g01 = jnp.where(m, rolled(ox, oy + 1), g01)
+            g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+
+    has_x1 = dxi < nx_glob - 1
+    has_y1 = dyi < ny - 1
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
+    w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
+    w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
+    value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
+    weight = w00 + w10 + w01 + w11
+    return value, weight, in_bounds
+
+
+def _global_coords(u_loc, axis_name: str):
+    nxl, ny = u_loc.shape[-2], u_loc.shape[-1]
+    idx = lax.axis_index(axis_name)
+    gi = lax.broadcasted_iota(u_loc.dtype, (nxl, ny), 0) + (idx * nxl).astype(
+        u_loc.dtype
+    )
+    gj = lax.broadcasted_iota(u_loc.dtype, (nxl, ny), 1)
+    return gi + u_loc[0], gj + u_loc[1]
+
+
+def _warp_local(img_loc, u_loc, halo: int, axis_name: str):
+    px, py = _global_coords(u_loc, axis_name)
+    value, weight, in_b = _bilinear_local(img_loc, px, py, halo, axis_name)
+    ok = in_b & (weight != 0)
+    return jnp.where(ok, value / jnp.where(weight != 0, weight, 1.0), img_loc)
+
+
+def _compose_local(u_tot_loc, u_inc_loc, halo: int, axis_name: str):
+    px, py = _global_coords(u_inc_loc, axis_name)
+    value, weight, in_b = _bilinear_local(u_tot_loc, px, py, halo, axis_name)
+    warped = value / jnp.where(weight != 0, weight, 1.0)
+    inc_plus = u_inc_loc + jnp.where(weight != 0, warped, 0.0)
+    return jnp.where(in_b, inc_plus, u_tot_loc)
+
+
+def _gradient_local(img_loc, axis_name: str):
+    """Central-difference gradient with 1-row halo exchange; one-sided at
+    the global borders (matches ops.grid.spatial_gradient)."""
+    nxl, ny = img_loc.shape
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    nx_glob = n * nxl
+    top, bot = _halo_exchange_k(img_loc, 1, axis_name)
+    fp = jnp.concatenate([top, img_loc, bot], axis=-2)  # [nxl+2, ny]
+
+    gx = (fp[2:, :] - fp[:-2, :]) * 0.5
+    gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+    first = fp[2:, :] - fp[1:-1, :]   # forward diff (valid on global row 0)
+    last = fp[1:-1, :] - fp[:-2, :]   # backward diff (global row nx-1)
+    gx = jnp.where(gi == 0, first, jnp.where(gi == nx_glob - 1, last, gx))
+
+    from opticalflow2d_tpu.ops.grid import partial_y
+
+    gy = partial_y(img_loc)  # y is unsharded
+    return jnp.stack([gx, gy], axis=0)
+
+
+def make_demons_step_sharded(
+    mesh: Mesh,
+    sigma_i: float,
+    sigma_x: float,
+    sigma_diffusion: float,
+    sigma_fluid: float,
+    kernelwidth: int,
+    halo: int = 2,
+    diffeomorphic: bool = False,
+):
+    """One Thirion/diffeomorphic demons iteration with every op expressed as
+    explicit shard_map collectives: halo-exchanged warp, gradient, Gaussian
+    smoothing, and composition; pmax for the exp-map scaling. The fully
+    hand-scheduled SP pipeline (contrast with the auto-SPMD
+    ``register_sharded`` path).
+
+    Signature: ``(u [2,nx,ny], iref [nx,ny], imov [nx,ny]) -> u`` with u
+    sharded ``P(None,'x',None)`` and images ``P('x',None)``. Displacement
+    contract: all warp/compose offsets within ``halo``.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
+        out_specs=P(None, "x", None),
+        check_vma=False,
+    )
+    def step(u, iref, imov):
+        iwar = _warp_local(imov, u, halo, "x")
+        grad = _gradient_local(iwar, "x")
+        it = iwar - iref
+        den = grad[0] ** 2 + grad[1] ** 2 + it**2 * (sigma_i**2) / (sigma_x**2)
+        num = grad * it[None] * -1.0
+        c = jnp.where(den[None] > 0, num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
+        c = _gaussian_local(c, sigma_fluid, kernelwidth)
+        if diffeomorphic:
+            # scaling-and-squaring with a globally reduced maxabs
+            normsq = c[0] ** 2 + c[1] ** 2
+            m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
+            nsq_f = jnp.ceil(1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny)))
+            nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(jnp.int32)
+            v = c * jnp.exp2(-nsq.astype(c.dtype))
+            v = lax.fori_loop(0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v)
+            c = v
+        u = _compose_local(u, c, halo, "x")
+        u = _gaussian_local(u, sigma_diffusion, kernelwidth)
+        return u
+
+    return jax.jit(step)
+
+
 def make_warp2d_sharded(mesh: Mesh, halo: int):
     """Blockwise backward warp with bounded-displacement halo exchange
     (SURVEY.md §5: the SP-equivalent of the reference's warp window logic,
