@@ -76,3 +76,27 @@ def test_divergence_guard():
     errs = np.concatenate([np.full(5, 0.01), np.full(5, 0.5)])
     assert divergence_guard(errs, window=5, factor=10.0)
     assert not divergence_guard(np.full(10, 0.01), window=5)
+
+
+def test_kernel_timer_smoke():
+    from opticalflow2d_tpu.utils.profiling import kernel_timer
+
+    state = jnp.ones((2, 16, 16))
+    sec = kernel_timer(lambda x: x * 0.999, state, iters_lo=2, iters_hi=4, reps=1)
+    assert sec > 0
+
+
+def test_shard_batch_for_host_single_process():
+    from opticalflow2d_tpu.parallel.multihost import shard_batch_for_host
+
+    # Single process: every host slice is the whole batch.
+    assert shard_batch_for_host(8) == slice(0, 8)
+    assert shard_batch_for_host(7) == slice(0, 7)
+
+
+def test_trace_context_smoke(tmp_path):
+    from opticalflow2d_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "tr")) as logdir:
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert logdir
