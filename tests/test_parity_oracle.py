@@ -160,3 +160,38 @@ def test_demons_multiscale_refine_bit_parity(pair):
     )
     assert endpoint_error(u, u_ref) < 1e-5
     assert np.abs(u - u_ref).max() < 2e-4
+
+
+def test_odd_dims_pyramid_parity():
+    # Odd, non-square dims through a truncating pyramid (dims 45/2 -> 22).
+    iref, imov = make_pair(45, 37, shift=(1.2, -0.6))
+    u_ref, _ = run_oracle(iref, imov, 1, 1, 0, [0.5], [30, 15])
+    cfg = RegConfig.from_regparams(
+        Method.DIFFUSION, [30, 15], 1, [0.5], 1, compat=COMPAT,
+        warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    assert endpoint_error(np.asarray(res.motion, np.float64), u_ref) < 1e-5
+
+
+def test_elastic_three_param_omega_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.ELASTIC, [0.5, 0.1, 0.9], [30, 15], 1,
+        compat=COMPAT, sor_ordering="lexicographic",
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
+
+
+def test_curvature_default_tau_parity(pair):
+    # Single regparam: tau falls back to the constructor default 1.0
+    # (OpticalFlowCurvature.h:10).
+    u, u_ref, res = _run_both(pair, Method.CURVATURE, [0.1], [30, 15], 1, compat=COMPAT)
+    assert endpoint_error(u, u_ref) < 1e-5
+
+
+def test_demons_kernelwidth7_parity(pair):
+    u, u_ref, res = _run_both(
+        pair, Method.THIRIONS_DEMONS, [1.0, 0.25, 3.0, 1.5, 7, 0],
+        [12, 8], 1, compat=COMPAT,
+    )
+    assert endpoint_error(u, u_ref) < 1e-5
