@@ -411,6 +411,92 @@ def make_warp2d_sharded(mesh: Mesh, halo: int):
     return jax.jit(warp)
 
 
+def make_demons_level_sharded(
+    mesh: Mesh,
+    sigma_i: float,
+    sigma_x: float,
+    sigma_diffusion: float,
+    sigma_fluid: float,
+    kernelwidth: int,
+    niter: int,
+    halo: int = 2,
+    diffeomorphic: bool = False,
+    convergence_tol: float = 0.001,
+):
+    """A full demons LEVEL solve as one explicit shard_map program:
+    per-iteration step (halo-exchanged warp/gradient/smooth/compose) inside
+    a lax.while_loop whose convergence gate is the reference Logger's
+    relative step norm computed with psum reductions over the mesh.
+
+    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``;
+    reproduces ``engine.registration._solve_level_demons`` for one
+    refinement within the displacement contract.
+    """
+
+    def _norm_global(v, axis_name):
+        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+        total = lax.psum(jnp.sum(mag), axis_name)
+        count = lax.psum(jnp.float32(mag.size), axis_name)
+        return total / count
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
+        out_specs=(P(None, "x", None), P()),
+        check_vma=False,
+    )
+    def solve(u, iref, imov):
+        iaux = _warp_local(imov, u, halo, "x")
+
+        def one_step(u_est):
+            iwar = _warp_local(iaux, u_est, halo, "x")
+            grad = _gradient_local(iwar, "x")
+            it_img = iwar - iref
+            den = grad[0] ** 2 + grad[1] ** 2 + it_img**2 * (sigma_i**2) / (sigma_x**2)
+            num = grad * it_img[None] * -1.0
+            c = jnp.where(
+                den[None] > 0, num / jnp.where(den[None] > 0, den[None], 1.0), 0.0
+            )
+            c = _gaussian_local(c, sigma_fluid, kernelwidth)
+            if diffeomorphic:
+                normsq = c[0] ** 2 + c[1] ** 2
+                m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
+                nsq_f = jnp.ceil(
+                    1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny))
+                )
+                nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(jnp.int32)
+                v = c * jnp.exp2(-nsq.astype(c.dtype))
+                v = lax.fori_loop(
+                    0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v
+                )
+                c = v
+            u_new = _compose_local(u_est, c, halo, "x")
+            return _gaussian_local(u_new, sigma_diffusion, kernelwidth)
+
+        def cond(carry):
+            _, _, it, conv = carry
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_est, prev, it, conv = carry
+            u_new = one_step(u_est)
+            prev_norm = _norm_global(prev, "x")
+            diff_norm = _norm_global(u_new - prev, "x")
+            err = jnp.where(prev_norm == 0, 0.0,
+                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
+            conv = (err < convergence_tol) & (it > 1)
+            return (u_new, u_new, it + 1, conv)
+
+        u0 = jnp.zeros_like(u)
+        u_est, _, it, _ = lax.while_loop(
+            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
+        )
+        u = _compose_local(u, u_est, halo, "x")
+        return u, it
+
+    return jax.jit(solve)
+
+
 def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     """Build a jitted function running ``niter`` Horn-Schunck sweeps with
     explicit ICI halo exchange; inputs/outputs sharded in x-strips.

@@ -263,3 +263,23 @@ def test_diffeo_demons_step_sharded_matches_serial():
         u_a = sharded(u_a, jnp.asarray(iref), jnp.asarray(imov))
         u_b = serial(u_b, jnp.asarray(iref), jnp.asarray(imov))
     np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), rtol=1e-4, atol=1e-5)
+
+
+@requires_8
+def test_demons_level_sharded_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_demons_level_sharded
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_demons_level_sharded(mesh, 1.0, 0.25, 2.0, 2.0, 5,
+                                      niter=12, halo=2)
+    u, iters = solve(jnp.zeros((2, 64, 48)), jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(12,), nscales=0,
+                    warp_halo=2, warp_halo_outer=2)
+    res = register(iref, imov, cfg)
+    assert int(iters) == int(res.traces[0].iterations)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
