@@ -497,6 +497,149 @@ def make_demons_level_sharded(
     return jax.jit(solve)
 
 
+def make_fluid_level_sharded(
+    mesh: Mesh,
+    mu: float,
+    lam: float,
+    omega: float,
+    niter: int,
+    halo: int = 2,
+    dumax: float = 0.65,
+    timestep_skip: float = 65.0,
+    regrid_threshold: float = 0.5,
+    convergence_tol: float = 0.001,
+    reference_stencil: bool = True,
+):
+    """A full viscous-fluid LEVEL solve as one explicit shard_map program:
+    per-iteration red-black SOR with ppermute halos, material-derivative
+    increment (halo-exchanged gradients), adaptive timestep via pmax,
+    Jacobian-triggered regridding via psum-min, and the Logger convergence
+    gate via psum norms — the reference's ImageRegistrationFluid level loop
+    (``ImageRegistrationFluid.cpp:67-142``) with every collective explicit.
+
+    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations, regrids)``.
+    """
+    from opticalflow2d_tpu.solvers.elastic import _gs_candidate
+
+    def _norm_global(v, axis_name):
+        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+        total = lax.psum(jnp.sum(mag), axis_name)
+        count = lax.psum(jnp.float32(mag.size), axis_name)
+        return total / count
+
+    def _sor_sweep_local(x, b):
+        nxl, ny = x.shape[-2], x.shape[-1]
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
+        red = ((gi + gj) % 2 == 0) & interior
+        black = ((gi + gj) % 2 == 1) & interior
+        zrow = jnp.zeros((2, 1, ny), x.dtype)
+        b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
+
+        def half(x, mask):
+            top, bot = _halo_exchange_k(x, 1, "x")
+            xp = jnp.concatenate([top, x, bot], axis=-2)
+            cand = _gs_candidate(xp, b_pad, mu, lam, omega, reference_stencil)
+            return jnp.where(mask, cand[:, 1:-1, :], x)
+
+        return half(half(x, red), black)
+
+    def _partials_local(f):
+        """(d/dx, d/dy) of each channel of ``f [..., nxl, ny]`` with halo
+        exchange in x and one-sided global borders."""
+        nxl, ny = f.shape[-2], f.shape[-1]
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        top, bot = _halo_exchange_k(f, 1, "x")
+        fp = jnp.concatenate([top, f, bot], axis=-2)
+        gx = (fp[..., 2:, :] - fp[..., :-2, :]) * 0.5
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        first = fp[..., 2:, :] - fp[..., 1:-1, :]
+        last = fp[..., 1:-1, :] - fp[..., :-2, :]
+        gx = jnp.where(gi == 0, first, jnp.where(gi == nx_glob - 1, last, gx))
+
+        from opticalflow2d_tpu.ops.grid import partial_y
+
+        gy = partial_y(f)
+        return gx, gy
+
+    def _jacobian_min_global(u):
+        dudx, _ = _partials_local(u)
+        _, dudy = _partials_local(u)
+        jac = (1.0 + dudx[0]) * (1.0 + dudy[1]) - dudx[1] * dudy[0]
+        return lax.pmin(jnp.min(jac), "x")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
+        out_specs=(P(None, "x", None), P(), P()),
+        check_vma=False,
+    )
+    def solve(u, iref, imov):
+        def derive(u_tot):
+            iaux = _warp_local(imov, u_tot, halo, "x")
+            grad = _gradient_local(iaux, "x")
+            return grad, iaux - iref
+
+        grad_i, it_img = derive(u)
+
+        def body(carry):
+            u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
+            # force at current motion estimate
+            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+            f = grad_i * inner[None]
+            vel = _sor_sweep_local(vel, f)
+            dudx, dudy = _partials_local(u_est)
+            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+            m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), "x"))
+            dt = dumax / m
+            do_step = dt < timestep_skip
+            u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0), u_est)
+
+            prev_norm = _norm_global(prev, "x")
+            diff_norm = _norm_global(u_new - prev, "x")
+            err = jnp.where(prev_norm == 0, 0.0,
+                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
+            conv = (err < convergence_tol) & (it > 1)
+
+            jac_min = _jacobian_min_global(u_new)
+            do_regrid = ~conv & (jac_min < regrid_threshold)
+
+            # The Logger's prev is the PRE-regrid logged estimate (it lives
+            # outside the regrid block in the reference).
+            logged = u_new
+
+            def regrid(args):
+                u_tot, u_new, grad_i, it_img = args
+                u_tot2 = _compose_local(u_tot, u_new, halo, "x")
+                g2, t2 = derive(u_tot2)
+                return u_tot2, jnp.zeros_like(u_new), g2, t2
+
+            u_tot, u_new, grad_i, it_img = lax.cond(
+                do_regrid, regrid, lambda a: a, (u_tot, u_new, grad_i, it_img)
+            )
+            return (u_tot, u_new, logged, vel, grad_i, it_img,
+                    it + 1, conv, nregrid + do_regrid.astype(jnp.int32))
+
+        def cond(carry):
+            it, conv = carry[-3], carry[-2]
+            return (it < niter) & ~conv
+
+        u0 = jnp.zeros_like(u)
+        carry = (u, u0, u0, u0, grad_i, it_img, jnp.int32(0), jnp.bool_(False),
+                 jnp.int32(0))
+        u, u_est, _, _, _, _, it, _, nregrid = lax.while_loop(cond, body, carry)
+        u = _compose_local(u, u_est, halo, "x")
+        return u, it, nregrid
+
+    return jax.jit(solve)
+
+
 def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     """Build a jitted function running ``niter`` Horn-Schunck sweeps with
     explicit ICI halo exchange; inputs/outputs sharded in x-strips.

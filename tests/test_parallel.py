@@ -283,3 +283,28 @@ def test_demons_level_sharded_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_fluid_level_sharded_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_fluid_level_sharded
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+
+    # halo=5 comfortably covers the accumulated displacement over this
+    # trajectory (the sharded path has no exact-gather fallback — the halo
+    # IS the contract).
+    solve = make_fluid_level_sharded(mesh, 0.25, 0.0, 0.66, niter=15, halo=5)
+    u, iters, regrids = solve(
+        jnp.zeros((2, 64, 48)), jnp.asarray(iref), jnp.asarray(imov)
+    )
+
+    cfg = RegConfig(method=Method.FLUID, niter=(15,), nscales=0, mu=0.25,
+                    lam=0.0, warp_halo=0, warp_halo_outer=0)
+    res = register(iref, imov, cfg)
+    assert int(iters) == int(res.traces[0].iterations)
+    assert int(regrids) == int(res.traces[0].regrids)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
