@@ -497,6 +497,111 @@ def make_demons_level_sharded(
     return jax.jit(solve)
 
 
+def make_variational_level_sharded(
+    mesh: Mesh,
+    method: str,
+    niter: int,
+    halo: int = 2,
+    alpha: float = 1.0,
+    mu: float = 1.0,
+    lam: float = 0.0,
+    omega: float = 0.66,
+    convergence_tol: float = 0.001,
+    reference_stencil: bool = True,
+):
+    """A full variational LEVEL solve (``method`` in {"diffusion",
+    "elastic"}) as one explicit shard_map program: derivatives once
+    (halo-exchanged warp + gradient), then while_loop iterations of the
+    solver stencil with ppermute halos, the Logger convergence gate via
+    psum norms, and the final composition — the reference's
+    ImageRegistrationOpticalFlow level loop with every collective explicit.
+    (Curvature's sharded step lives in parallel.dct_dist; wiring it into
+    this driver shape is mechanical.)
+
+    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``.
+    """
+    from opticalflow2d_tpu.solvers.elastic import _gs_candidate
+
+    def _norm_global(v, axis_name):
+        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+        total = lax.psum(jnp.sum(mag), axis_name)
+        count = lax.psum(jnp.float32(mag.size), axis_name)
+        return total / count
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
+        out_specs=(P(None, "x", None), P()),
+        check_vma=False,
+    )
+    def solve(u, iref, imov):
+        iaux = _warp_local(imov, u, halo, "x")
+        grad_i = _gradient_local(iaux, "x")
+        it_img = iaux - iref
+
+        nxl, ny = iref.shape
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+
+        if method == "diffusion":
+            den = alpha * alpha + grad_i[0] ** 2 + grad_i[1] ** 2
+
+            def step(u_est):
+                q = _qlaplacian_halo(u_est, "x")
+                inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
+                f = grad_i * inner[None]
+                return q - f / den[None]
+
+        elif method == "elastic":
+            interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
+            red = ((gi + gj) % 2 == 0) & interior
+            black = ((gi + gj) % 2 == 1) & interior
+
+            def step(u_est):
+                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+                b = grad_i * inner[None]
+                zrow = jnp.zeros((2, 1, ny), u_est.dtype)
+                b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
+
+                def half(x, mask):
+                    top, bot = _halo_exchange_k(x, 1, "x")
+                    xp = jnp.concatenate([top, x, bot], axis=-2)
+                    cand = _gs_candidate(xp, b_pad, mu, lam, omega,
+                                         reference_stencil)
+                    return jnp.where(mask, cand[:, 1:-1, :], x)
+
+                return half(half(u_est, red), black)
+
+        else:  # pragma: no cover
+            raise ValueError(method)
+
+        def cond(carry):
+            _, _, it, conv = carry
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_est, prev, it, conv = carry
+            u_new = step(u_est)
+            prev_norm = _norm_global(prev, "x")
+            diff_norm = _norm_global(u_new - prev, "x")
+            err = jnp.where(prev_norm == 0, 0.0,
+                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
+            conv = (err < convergence_tol) & (it > 1)
+            return (u_new, u_new, it + 1, conv)
+
+        u0 = jnp.zeros_like(u)
+        u_est, _, it, _ = lax.while_loop(
+            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
+        )
+        u = _compose_local(u, u_est, halo, "x")
+        return u, it
+
+    return jax.jit(solve)
+
+
 def make_fluid_level_sharded(
     mesh: Mesh,
     mu: float,

@@ -308,3 +308,26 @@ def test_fluid_level_sharded_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+@pytest.mark.parametrize("method,kw,serial_kw", [
+    ("diffusion", dict(alpha=0.5), dict(method=Method.DIFFUSION, alpha=0.5)),
+    ("elastic", dict(mu=0.5, lam=0.0), dict(method=Method.ELASTIC, mu=0.5, lam=0.0)),
+])
+def test_variational_level_sharded_matches_register(method, kw, serial_kw):
+    from opticalflow2d_tpu.parallel.spatial import make_variational_level_sharded
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+
+    solve = make_variational_level_sharded(mesh, method, niter=20, halo=4, **kw)
+    u, iters = solve(jnp.zeros((2, 64, 48)), jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(niter=(20,), nscales=0, warp_halo=0, warp_halo_outer=0,
+                    **serial_kw)
+    res = register(iref, imov, cfg)
+    assert int(iters) == int(res.traces[0].iterations)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
