@@ -503,20 +503,24 @@ def make_variational_level_sharded(
     niter: int,
     halo: int = 2,
     alpha: float = 1.0,
+    tau: float = 1.0,
     mu: float = 1.0,
     lam: float = 0.0,
     omega: float = 0.66,
     convergence_tol: float = 0.001,
     reference_stencil: bool = True,
+    grid_shape=None,
 ):
     """A full variational LEVEL solve (``method`` in {"diffusion",
-    "elastic"}) as one explicit shard_map program: derivatives once
-    (halo-exchanged warp + gradient), then while_loop iterations of the
-    solver stencil with ppermute halos, the Logger convergence gate via
-    psum norms, and the final composition — the reference's
-    ImageRegistrationOpticalFlow level loop with every collective explicit.
-    (Curvature's sharded step lives in parallel.dct_dist; wiring it into
-    this driver shape is mechanical.)
+    "elastic", "curvature"}) as one explicit shard_map program: derivatives
+    once (halo-exchanged warp + gradient), then while_loop iterations of the
+    solver stencil with ppermute halos (curvature: distributed DCT via
+    all_to_all), the Logger convergence gate via psum norms, and the final
+    composition — the reference's ImageRegistrationOpticalFlow level loop
+    with every collective explicit.
+
+    Curvature extra kwargs: ``tau`` (uses ``alpha`` as the regularisation
+    weight); requires nx and ny divisible by the mesh x-axis size.
 
     Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``.
     """
@@ -527,6 +531,13 @@ def make_variational_level_sharded(
         total = lax.psum(jnp.sum(mag), axis_name)
         count = lax.psum(jnp.float32(mag.size), axis_name)
         return total / count
+
+    n_static = mesh.shape["x"]
+    if method == "curvature":
+        if grid_shape is None:
+            raise ValueError("curvature needs grid_shape=(nx, ny)")
+        if grid_shape[0] % n_static or grid_shape[1] % n_static:
+            raise ValueError("curvature grid dims must divide the mesh x size")
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -574,6 +585,37 @@ def make_variational_level_sharded(
                     return jnp.where(mask, cand[:, 1:-1, :], x)
 
                 return half(half(u_est, red), black)
+
+        elif method == "curvature":
+            from opticalflow2d_tpu.ops.dct import (
+                _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
+            )
+
+            nx_g, ny_g = grid_shape
+            nyl = ny_g // n_static
+            c2x = jnp.asarray(_dct2_matrix(nx_g), u.dtype)
+            c3x = jnp.asarray(_dct3_matrix(nx_g), u.dtype)
+            c2y = jnp.asarray(_dct2_matrix(ny_g), u.dtype)
+            c3y = jnp.asarray(_dct3_matrix(ny_g), u.dtype)
+            eig = curvature_eigenvalues(nx_g, ny_g, alpha, tau, u.dtype)
+            scale = 1.0 / (4.0 * nx_g * ny_g)
+
+            def step(u_est):
+                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+                f = grad_i * inner[None]
+                rhs = u_est - tau * f
+                t = jnp.matmul(rhs, c2y.T, precision=lax.Precision.HIGHEST)
+                t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
+                eig_slice = lax.dynamic_slice(
+                    eig, (0, lax.axis_index("x") * nyl), (nx_g, nyl)
+                )
+                t = jnp.einsum("kx,cxy->cky", c2x, t,
+                               precision=lax.Precision.HIGHEST) * eig_slice[None]
+                t = jnp.einsum("kx,cxy->cky", c3x, t,
+                               precision=lax.Precision.HIGHEST)
+                t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
+                t = jnp.matmul(t, c3y.T, precision=lax.Precision.HIGHEST)
+                return t * scale
 
         else:  # pragma: no cover
             raise ValueError(method)

@@ -331,3 +331,25 @@ def test_variational_level_sharded_matches_register(method, kw, serial_kw):
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_curvature_level_sharded_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_variational_level_sharded
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+
+    solve = make_variational_level_sharded(
+        mesh, "curvature", niter=20, halo=4, alpha=0.1, tau=1.0,
+        grid_shape=(64, 48),
+    )
+    u, iters = solve(jnp.zeros((2, 64, 48)), jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.CURVATURE, niter=(20,), nscales=0,
+                    alpha=0.1, tau=1.0, warp_halo=0, warp_halo_outer=0)
+    res = register(iref, imov, cfg)
+    assert int(iters) == int(res.traces[0].iterations)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
