@@ -34,13 +34,14 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     plans).
 
     ``dct_impl``:
-    - "matmul" (= "auto"): MXU dense transform at HIGHEST precision —
-      measured fastest AND bit-closest on TPU v5e (the complex-FFT path is
-      emulated there and ~2x slower at 1024^2);
-    - "matmul_fast": single-pass (bf16-input) MXU matmuls, ~1e-3 relative
-      error, for throughput-first runs;
-    - "fft": O(N log N) Makhoul factorization — wins only where FFTs are
-      hardware-native or N is very large.
+    - "matmul" (= "auto"): MXU dense transform at HIGHEST precision (6-pass
+      f32) — bit-closest; the parity default;
+    - "matmul_high": 3-pass MXU precision — 1.6x faster at 3.75e-5 relative
+      error (measured on v5e @1024^2); the recommended production setting;
+    - "matmul_fast": single-pass (bf16-input) MXU matmuls, ~6e-3 relative
+      error, for throughput-first runs (3.9x);
+    - "fft": O(N log N) Makhoul factorization — on v5e the complex FFT is
+      emulated and ~2x SLOWER than the dense matmul at 1024^2.
     """
     eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
     scale = 1.0 / (4.0 * nx * ny)
@@ -48,11 +49,13 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
         dct_impl = "matmul"
     if dct_impl == "fft":
         fwd, inv = dct2_fft, idct2_fft
-    elif dct_impl == "matmul_fast":
+    elif dct_impl in ("matmul_fast", "matmul_high"):
         from jax import lax
 
-        fwd = lambda a: dct2_fftw(a, precision=lax.Precision.DEFAULT)
-        inv = lambda a: idct2_fftw(a, precision=lax.Precision.DEFAULT)
+        prec = (lax.Precision.DEFAULT if dct_impl == "matmul_fast"
+                else lax.Precision.HIGH)
+        fwd = lambda a: dct2_fftw(a, precision=prec)
+        inv = lambda a: idct2_fftw(a, precision=prec)
     else:
         fwd, inv = dct2_fftw, idct2_fftw
 

@@ -149,3 +149,16 @@ def test_curvature_fft_impl_matches_matmul(rng):
     a = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul")(u, d)
     b = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="fft")(u, d)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_curvature_high_impl_close_to_matmul(rng):
+    from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+    from opticalflow2d_tpu.solvers.base import derivatives
+
+    iref = rng.standard_normal((32, 28)).astype(np.float32)
+    imov = rng.standard_normal((32, 28)).astype(np.float32)
+    d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
+    u = jnp.asarray(0.1 * rng.standard_normal((2, 32, 28)).astype(np.float32))
+    a = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul")(u, d)
+    b = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul_high")(u, d)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
