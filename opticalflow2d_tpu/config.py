@@ -116,8 +116,10 @@ class RegConfig:
     # relaxation sweep per iteration) or "spectral" (exact FFT solve of the
     # same system per iteration, periodic BCs — the north-star upgrade).
     navier_lame_solver: str = "sor"
-    # Curvature DCT implementation: "matmul" (MXU, max accuracy), "fft"
-    # (O(N log N)), or "auto" (fft for levels >= 256 on a side).
+    # Curvature DCT implementation: "auto"/"matmul" (MXU dense transform at
+    # HIGHEST precision — measured fastest-accurate on TPU), "matmul_high"
+    # (3-pass, 1.6x faster @ 3.8e-5 rel err), "matmul_fast" (1-pass, 3.9x @
+    # 6e-3), or "fft" (Makhoul; slower on TPU where complex FFT is emulated).
     dct_impl: str = "auto"
     # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
     # masked circular shifts when every in-bounds sample's floor offset is
