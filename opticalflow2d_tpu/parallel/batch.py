@@ -33,41 +33,48 @@ from opticalflow2d_tpu.engine.registration import _register_impl, RegistrationRe
 _COND_HEAVY = (Method.THIRIONS_DEMONS, Method.DIFFEOMORPHIC_DEMONS, Method.FLUID)
 
 
-def _map_local(irefs, imovs, cfg):
+def _map_local(irefs, imovs, cfg, u0s=None):
     """Sequential per-pair registration (lax.map keeps lax.cond as real
     branching, unlike vmap's both-branch select)."""
-    return lax.map(lambda rm: _register_impl(rm[0], rm[1], cfg), (irefs, imovs))
+    if u0s is None:
+        return lax.map(lambda rm: _register_impl(rm[0], rm[1], cfg), (irefs, imovs))
+    return lax.map(
+        lambda rmu: _register_impl(rmu[0], rmu[1], cfg, rmu[2]),
+        (irefs, imovs, u0s),
+    )
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_batch(cfg: RegConfig, mesh: Optional[Mesh], impl: str):
+def _jitted_batch(cfg: RegConfig, mesh: Optional[Mesh], impl: str, warm: bool):
     if impl == "vmap":
-        fn = jax.vmap(lambda r, m: _register_impl(r, m, cfg))
+        if warm:
+            fn = jax.vmap(lambda r, m, u0: _register_impl(r, m, cfg, u0))
+        else:
+            fn = jax.vmap(lambda r, m: _register_impl(r, m, cfg))
         if mesh is None:
             return jax.jit(fn)
-        data_sharding = NamedSharding(mesh, P("data"))
-        return jax.jit(
-            fn,
-            in_shardings=(data_sharding, data_sharding),
-            out_shardings=data_sharding,
-        )
+        ds = NamedSharding(mesh, P("data"))
+        n_in = 3 if warm else 2
+        return jax.jit(fn, in_shardings=(ds,) * n_in, out_shardings=ds)
     # impl == "map": per-device unbatched programs; across devices via
     # shard_map so each device runs its local pairs sequentially.
+    if warm:
+        local = lambda r, m, u0: _map_local(r, m, cfg, u0)
+        specs = (P("data"), P("data"), P("data"))
+    else:
+        local = lambda r, m: _map_local(r, m, cfg)
+        specs = (P("data"), P("data"))
     if mesh is None:
-        return jax.jit(lambda r, m: _map_local(r, m, cfg))
+        return jax.jit(local)
     fn = shard_map(
-        lambda r, m: _map_local(r, m, cfg),
-        mesh=mesh,
-        in_specs=(P("data"), P("data")),
-        out_specs=P("data"),
-        check_vma=False,
+        local, mesh=mesh, in_specs=specs, out_specs=P("data"), check_vma=False
     )
     return jax.jit(fn)
 
 
 def register_batch(
     irefs, imovs, cfg: RegConfig, mesh: Optional[Mesh] = None,
-    impl: str = "auto",
+    impl: str = "auto", initial_motions=None,
 ) -> RegistrationResult:
     """Register a batch of pairs.
 
@@ -79,6 +86,8 @@ def register_batch(
       impl: "vmap" (SPMD-batched; best for the variational solvers),
         "map" (per-pair programs, sequential within each device — preserves
         real cond branching for demons/fluid), or "auto" (picks by method).
+      initial_motions: optional ``[B, 2, nx, ny]`` warm-start fields (e.g.
+        previous-frame solutions in sequence processing).
 
     Returns:
       ``RegistrationResult`` with a leading batch axis on every leaf
@@ -99,4 +108,11 @@ def register_batch(
         impl = "map" if cfg.method in _COND_HEAVY and cfg.warp_halo > 0 else "vmap"
     if impl not in ("vmap", "map"):
         raise ValueError(f"unknown impl {impl!r}")
-    return _jitted_batch(cfg, mesh, impl)(irefs, imovs)
+    if initial_motions is not None:
+        u0s = jnp.asarray(initial_motions)
+        if u0s.shape != (irefs.shape[0], 2) + irefs.shape[1:]:
+            raise ValueError(
+                f"initial_motions must be [B, 2, nx, ny], got {u0s.shape}"
+            )
+        return _jitted_batch(cfg, mesh, impl, True)(irefs, imovs, u0s)
+    return _jitted_batch(cfg, mesh, impl, False)(irefs, imovs)

@@ -353,3 +353,19 @@ def test_curvature_level_sharded_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("impl", ["vmap", "map"])
+def test_register_batch_warm_start(impl):
+    irefs, imovs = _batch_pairs(3)
+    first = register_batch(irefs, imovs, CFG, impl=impl)
+    warm = register_batch(irefs, imovs, CFG, impl=impl,
+                          initial_motions=first.motion)
+    # warm start from each pair's own solution must match the serial
+    # warm-started register
+    serial = register(irefs[1], imovs[1], CFG,
+                      initial_motion=first.motion[1])
+    np.testing.assert_allclose(
+        np.asarray(warm.motion[1]), np.asarray(serial.motion),
+        rtol=2e-4, atol=1e-5,
+    )
