@@ -12,7 +12,6 @@ Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/sequence_tracking
 
 import os
 import sys
-import time
 
 import numpy as np
 

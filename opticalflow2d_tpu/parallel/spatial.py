@@ -19,7 +19,7 @@ Two complementary paths:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

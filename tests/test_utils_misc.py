@@ -12,7 +12,6 @@ from opticalflow2d_tpu.ops.conv import box_kernel_2d, convolve2d_kernel, gaussia
 from opticalflow2d_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 from opticalflow2d_tpu.utils.health import assert_finite, divergence_guard
 from opticalflow2d_tpu.config import RegConfig, Method
-import reference_impl as ref
 
 
 def test_dirichlet_boundary(rng):
