@@ -153,26 +153,30 @@ int main(int argc, char** argv) {
     for (int p = 0; p < nparams; p++) regparams[p] = (float)std::atof(argv[a++]);
     std::vector<int> niter(nscales + 1);
     for (int s = 0; s < nscales + 1; s++) niter[s] = std::atoi(argv[a++]);
+    // Optional: OF2D_ORACLE_VERBOSE=1 turns on the reference Logger prints
+    // (Iteration: k\tError:e lines on stderr) for trace-parity tests.
+    const bool verbose = std::getenv("OF2D_ORACLE_VERBOSE") != NULL;
 
     const dim dimin((unsigned)nx, (unsigned)ny);
     const size_t size = (size_t)nx * ny;
 
     try {
         ImageRegistration* regobj = NULL;
+        const Verbose verb = verbose ? Verbose::On : Verbose::Off;
         if (reg == Regularisation::Diffusion || reg == Regularisation::Curvature ||
             reg == Regularisation::Elastic) {
             regobj = new ImageRegistrationOpticalFlow(
                 dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
-                (unsigned)nparams, Verbose::Off);
+                (unsigned)nparams, verb);
         } else if (reg == Regularisation::ThirionsDemons ||
                    reg == Regularisation::DiffeomorphicDemons) {
             regobj = new ImageRegistrationDemons(
                 dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
-                (unsigned)nparams, Verbose::Off);
+                (unsigned)nparams, verb);
         } else if (reg == Regularisation::Fluid) {
             regobj = new ImageRegistrationFluid(
                 dimin, nscales, niter.data(), nrefine, reg, regparams.data(),
-                (unsigned)nparams, Verbose::Off);
+                (unsigned)nparams, verb);
         } else {
             std::fprintf(stderr, "invalid regularisation %d\n", (int)reg);
             return 2;

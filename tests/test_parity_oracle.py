@@ -195,3 +195,63 @@ def test_demons_kernelwidth7_parity(pair):
         [12, 8], 1, compat=COMPAT,
     )
     assert endpoint_error(u, u_ref) < 1e-5
+
+
+def test_logger_error_trace_parity(pair):
+    """Per-iteration Logger error values: parse the oracle's verbose
+    'Iteration: k\tError:e' prints and compare against our carried trace."""
+    import os
+    import re
+    import subprocess
+    import tempfile
+
+    import oracle_utils as ou
+
+    iref, imov = pair
+    nx, ny = iref.shape
+    with tempfile.TemporaryDirectory() as td:
+        paths = [os.path.join(td, n) for n in ("r", "m", "mo", "w")]
+        ou._write_raw(paths[0], iref)
+        ou._write_raw(paths[1], imov)
+        env = dict(os.environ, OF2D_ORACLE_VERBOSE="1")
+        proc = subprocess.run(
+            [ou.ORACLE_BIN, *paths, str(nx), str(ny), "0", "1", "0", "1",
+             "0.5", "25"],
+            capture_output=True, env=env, timeout=300, check=True,
+        )
+    errs_ref = [
+        float(m.group(1))
+        for m in re.finditer(rb"Iteration: \d+\s+Error:([0-9.]+)", proc.stderr)
+    ]
+    assert len(errs_ref) > 3
+
+    cfg = RegConfig.from_regparams(
+        Method.DIFFUSION, [25], 0, [0.5], 1, compat=COMPAT,
+        warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    n = int(res.traces[0].iterations)
+    ours = np.asarray(res.traces[0].errors)[:n]
+    assert n == len(errs_ref)
+    # The oracle prints %.4f — compare at print precision.
+    np.testing.assert_allclose(ours, errs_ref, atol=6e-5)
+
+
+def test_demons_flat_region_fixed_vs_oracle_crash():
+    """On perfectly flat matched regions the reference's demons force
+    divides by a zero denominator and vector2d::operator/ THROWS
+    ("Divide by zero exception", coord2d.h:95) — in MATLAB the whole MEX
+    call aborts. Our force defines the 0/0 limit as 0 (Demons force
+    docstring); the registration returns a clean zero field instead of
+    crashing. Document the intended divergence."""
+    iref = np.full((24, 24), 0.5, np.float32)
+    imov = np.full((24, 24), 0.5, np.float32)
+    with pytest.raises(RuntimeError, match="Divide by zero"):
+        run_oracle(iref, imov, 0, 1, 3, [1.0, 0.25, 2.0, 2.0, 5, 0], [5])
+    cfg = RegConfig.from_regparams(
+        Method.THIRIONS_DEMONS, [5], 0, [1.0, 0.25, 2.0, 2.0, 5, 0], 1,
+        compat=COMPAT, warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    assert np.isfinite(np.asarray(res.motion)).all()
+    np.testing.assert_allclose(np.asarray(res.motion), 0.0, atol=1e-7)
