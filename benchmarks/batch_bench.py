@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
 
     from opticalflow2d_tpu.config import RegConfig, Method
-    from opticalflow2d_tpu.engine.registration import _register_impl
+    from opticalflow2d_tpu.parallel.batch import register_batch
 
     n = args.size
     rng = np.random.default_rng(0)
@@ -58,16 +58,16 @@ def main():
         irefs = jnp.asarray(np.stack([base_r] * b))
         imovs = jnp.asarray(np.stack([base_m] * b))
 
-        @jax.jit
         def run(r, m):
-            res = jax.vmap(lambda a, c: _register_impl(a, c, cfg).motion)(r, m)
-            return jnp.sum(res)
+            # register_batch(impl="auto"): vmap for variational methods,
+            # per-pair map programs for demons/fluid
+            return float(jnp.sum(register_batch(r, m, cfg).motion))
 
-        float(run(irefs, imovs))  # compile
+        run(irefs, imovs)  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(irefs, imovs))
+            run(irefs, imovs)
             best = min(best, time.perf_counter() - t0)
         print(
             f"  batch {b:4d}: {best*1e3:9.2f} ms -> {b/best:8.1f} reg/s "
