@@ -289,8 +289,12 @@ def _register_impl(
 
     if initial_motion is not None:
         # Warm start (checkpoint resume / sequential registration): the
-        # initial full-resolution field seeds every level exactly as the
-        # reference's persistent motion[0] would on a repeated register call.
+        # initial full-resolution field seeds the pyramid. Note a deliberate
+        # deviation from the reference's repeated-register behavior: there,
+        # motion[nscales] retains its stale per-level value from the previous
+        # call (ImageRegistration.cpp:137-139 skips the downsample at
+        # s == nscales); here the coarsest level is re-seeded by downsampling
+        # the warm-start field, which is better-behaved and self-consistent.
         u_full = jnp.asarray(initial_motion, dtype)
     else:
         u_full = jnp.zeros((2,) + dims[0], dtype)
@@ -298,8 +302,6 @@ def _register_impl(
     for s in range(cfg.nscales, -1, -1):
         if s == cfg.nscales and s > 0:
             if initial_motion is not None:
-                # Mirrors the reference's repeated-register behavior where
-                # motion[nscales] persists; seed it from the warm start.
                 u_s = downsample_motion(u_full, dims[s])
             else:
                 # Coarsest level starts from zero: the reference skips the
