@@ -113,7 +113,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
 
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
         d = derivatives(iref, iaux)
 
         def cond(carry):
@@ -132,7 +132,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
     return u, traces
 
@@ -164,7 +164,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     velocity = jnp.zeros_like(u)
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
         d = derivatives(iref, iaux)
 
         def cond(carry):
@@ -191,8 +191,8 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
             def regrid(args):
                 u_tot, u_new, grad_i, it_img = args
-                u_tot2 = compose(u_tot, u_new, cfg.warp_halo_outer)
-                iaux2 = warp2d(imov, u_tot2, cfg.warp_halo_outer)
+                u_tot2 = compose(u_tot, u_new, cfg.warp_halo_outer, cfg.use_pallas)
+                iaux2 = warp2d(imov, u_tot2, cfg.warp_halo_outer, cfg.use_pallas)
                 d2 = derivatives(iref, iaux2)
                 return u_tot2, jnp.zeros_like(u_new), d2.grad_i, d2.it
 
@@ -212,7 +212,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0),
         )
         u, u_est, _, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, nregrid))
     return u, traces
 
@@ -228,11 +228,12 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         conv_flatwrap=cfg.compat.conv_flatwrap,
         maxabs_bug=cfg.compat.maxabs_bug,
         warp_halo=cfg.warp_halo,
+        use_pallas=cfg.use_pallas,
     )
 
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
 
         def cond(carry):
             _, _, it, conv, _ = carry
@@ -250,7 +251,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
     return u, traces
 

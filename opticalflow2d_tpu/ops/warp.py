@@ -115,23 +115,26 @@ def _bilinear_from_taps(data, px, py, taps_fn):
     return value, weight, in_bounds
 
 
+def _displacement_bounded(data, px, py, halo: int):
+    """Runtime predicate: every in-bounds sample's floor offset within
+    ``halo`` (out-of-bounds pixels take the passthrough path and are
+    ignored)."""
+    nx, ny = data.shape[-2], data.shape[-1]
+    gi = jax.lax.broadcasted_iota(px.dtype, (nx, ny), 0)
+    gj = jax.lax.broadcasted_iota(px.dtype, (nx, ny), 1)
+    dx = jnp.floor(px)
+    dy = jnp.floor(py)
+    in_b = (dx >= 0) & (dx < nx) & (dy >= 0) & (dy < ny)
+    off_pix = jnp.maximum(jnp.abs(dx - gi), jnp.abs(dy - gj))
+    return jnp.max(jnp.where(in_b, off_pix, 0.0)) <= halo
+
+
 def _bilinear_gather(data, px, py, halo: int = 0):
     """Dispatch: exact gather (``halo=0``) or roll-based fast path guarded
     by a runtime displacement bound (``lax.cond`` falls back to the exact
     gather when any pixel's floor offset exceeds ``halo``)."""
     if halo <= 0:
         return _bilinear_from_taps(data, px, py, _gather_taps_exact)
-
-    nx, ny = data.shape[-2], data.shape[-1]
-    gi = jax.lax.broadcasted_iota(px.dtype, (nx, ny), 0)
-    gj = jax.lax.broadcasted_iota(px.dtype, (nx, ny), 1)
-    dx = jnp.floor(px)
-    dy = jnp.floor(py)
-    # Only in-bounds samples need correct taps (out-of-bounds pixels take the
-    # passthrough path), so the coverage check ignores them.
-    in_b = (dx >= 0) & (dx < nx) & (dy >= 0) & (dy < ny)
-    off_pix = jnp.maximum(jnp.abs(dx - gi), jnp.abs(dy - gj))
-    off = jnp.max(jnp.where(in_b, off_pix, 0.0))
 
     def fast(_):
         return _bilinear_from_taps(
@@ -141,7 +144,9 @@ def _bilinear_gather(data, px, py, halo: int = 0):
     def exact(_):
         return _bilinear_from_taps(data, px, py, _gather_taps_exact)
 
-    return jax.lax.cond(off <= halo, fast, exact, None)
+    return jax.lax.cond(
+        _displacement_bounded(data, px, py, halo), fast, exact, None
+    )
 
 
 def _sample_coords(u: jnp.ndarray):
@@ -153,7 +158,8 @@ def _sample_coords(u: jnp.ndarray):
     return px, py
 
 
-def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0) -> jnp.ndarray:
+def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0,
+           use_pallas: bool = False) -> jnp.ndarray:
     """Backward-warp ``image [nx, ny]`` by motion ``u [2, nx, ny]``:
     out(x) = I(x + u(x)) with bilinear interpolation.
 
@@ -164,8 +170,27 @@ def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0) -> jnp.ndarray:
     ``halo > 0`` enables the TPU-native roll-based fast path for
     displacement-bounded fields (identical results; a runtime bound check
     falls back to the exact gather when ``max |floor offset| > halo``).
+    ``use_pallas`` routes the fast path through the fused Pallas kernel
+    (4-17x faster again on TPU; requires Mosaic — interpret mode on CPU).
     """
     px, py = _sample_coords(u)
+    if halo > 0 and use_pallas:
+        from opticalflow2d_tpu.pallas_kernels.warp_fused import warp2d_pallas
+
+        def fast(_):
+            return warp2d_pallas(image, u, halo=halo)
+
+        def exact(_):
+            value, weight, in_bounds = _bilinear_from_taps(
+                image[None], px, py, _gather_taps_exact
+            )
+            ok = in_bounds & (weight != 0)
+            safe_w = jnp.where(weight != 0, weight, 1.0)
+            return jnp.where(ok, value[0] / safe_w, image)
+
+        return jax.lax.cond(
+            _displacement_bounded(image[None], px, py, halo), fast, exact, None
+        )
     value, weight, in_bounds = _bilinear_gather(image[None], px, py, halo)
     value = value[0]
     ok = in_bounds & (weight != 0)
@@ -173,16 +198,35 @@ def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0) -> jnp.ndarray:
     return jnp.where(ok, value / safe_w, image)
 
 
-def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0) -> jnp.ndarray:
+def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0,
+            use_pallas: bool = False) -> jnp.ndarray:
     """Motion composition ``u <- u_inc + u_total(x + u_inc)``.
 
     This is the reference's ``Motion::accumulate`` (``src/Motion.cpp:113-178``):
     the *accumulated* field is backward-warped by the increment and the
     increment is added. Out-of-bounds pixels keep the old accumulated value;
     pixels whose bilinear weight vanishes keep only the increment.
-    ``halo``: see ``warp2d``.
+    ``halo``/``use_pallas``: see ``warp2d``.
     """
     px, py = _sample_coords(u_inc)
+    if halo > 0 and use_pallas:
+        from opticalflow2d_tpu.pallas_kernels.warp_fused import compose_pallas
+
+        def fast(_):
+            return compose_pallas(u_total, u_inc, halo=halo)
+
+        def exact(_):
+            value, weight, in_bounds = _bilinear_from_taps(
+                u_total, px, py, _gather_taps_exact
+            )
+            safe_w = jnp.where(weight != 0, weight, 1.0)
+            warped = value / safe_w
+            inc_plus = u_inc + jnp.where(weight != 0, warped, 0.0)
+            return jnp.where(in_bounds[None], inc_plus, u_total)
+
+        return jax.lax.cond(
+            _displacement_bounded(u_total, px, py, halo), fast, exact, None
+        )
     value, weight, in_bounds = _bilinear_gather(u_total, px, py, halo)
     safe_w = jnp.where(weight != 0, weight, 1.0)
     warped = value / safe_w
@@ -194,7 +238,8 @@ def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0) -> jnp.ndar
     return jnp.where(in_bounds[None], inc_plus, u_total)
 
 
-def expmap(u: jnp.ndarray, maxabs_bug: bool = False, halo: int = 0) -> jnp.ndarray:
+def expmap(u: jnp.ndarray, maxabs_bug: bool = False, halo: int = 0,
+           use_pallas: bool = False) -> jnp.ndarray:
     """Exponential map of a velocity field by scaling and squaring
     (reference ``src/Motion.cpp:253-277``).
 
@@ -217,6 +262,6 @@ def expmap(u: jnp.ndarray, maxabs_bug: bool = False, halo: int = 0) -> jnp.ndarr
         # it back toward the original magnitude; a small halo covers every
         # squaring step except the last few of large fields, which the
         # runtime bound check in compose() routes to the exact path.
-        return compose(v, v, halo)
+        return compose(v, v, halo, use_pallas)
 
     return jax.lax.fori_loop(0, nsq, body, scaled)

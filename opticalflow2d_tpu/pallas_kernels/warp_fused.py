@@ -1,0 +1,167 @@
+"""Fused bounded-displacement bilinear warp/compose as Pallas TPU kernels.
+
+The jnp roll-path (`ops.warp._gather_taps_rolls`) is algorithmically right
+for TPU (no hardware gather), but XLA materializes every one of the
+``(2h+2)^2`` shifted copies through HBM — at 1024^2/halo=2 that is ~36 x
+8 MB = ~290 MB of traffic, matching the measured ~376 us. These kernels
+perform the same masked-roll select chain entirely in VMEM on row tiles:
+one streamed read of (data, u), one write of the output, all shifts as
+on-chip vector ops. Measured on v5e @1024^2: 79 us (halo=2) / 182 us
+(halo=4) vs 376 / 3162 us for the XLA path — and 43 ms for exact gather.
+
+Semantics: identical to ``ops.warp.warp2d`` / ``ops.warp.compose`` for
+displacement fields whose in-bounds floor offsets satisfy
+``|dx - i| <= halo`` and ``|dy - j| <= halo`` (callers guard with a runtime
+bound check, as the driver's lax.cond does).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
+
+
+def _gather_kernel(data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref, tile_sc,
+                   sem, *, halo: int, tb: int, nx: int, nc: int, compose: bool):
+    i = pl.program_id(0)
+
+    # One aligned DMA: padded-data rows [i*tb, i*tb + tb + 2*PAD).
+    dma = pltpu.make_async_copy(
+        data_pad_hbm.at[:, pl.ds(i * tb, tb + 2 * _PAD), :], tile_sc, sem
+    )
+    dma.start()
+    dma.wait()
+
+    tile = tile_sc[:, :, :]            # [nc, tb + 2*PAD, ny]
+    rows = tb + 2 * _PAD
+    ny = tile.shape[-1]
+
+    gi = lax.broadcasted_iota(jnp.int32, (tb, ny), 0) + i * tb
+    gj = lax.broadcasted_iota(jnp.int32, (tb, ny), 1)
+
+    px = gi.astype(ux_ref.dtype) + ux_ref[:, :]
+    py = gj.astype(uy_ref.dtype) + uy_ref[:, :]
+    dx = jnp.floor(px)
+    dy = jnp.floor(py)
+    fx = px - dx
+    fy = py - dy
+    dxi = dx.astype(jnp.int32)
+    dyi = dy.astype(jnp.int32)
+    in_bounds = (dxi >= 0) & (dxi < nx) & (dyi >= 0) & (dyi < ny)
+    rx = dxi - gi
+    ry = dyi - gj
+
+    # Output row r corresponds to padded-tile row r + PAD; tap offset a
+    # reads padded rows r + a + PAD — a sublane roll by -(a+PAD) (no wrap
+    # reaches r < tb) followed by the aligned [0:tb] slice. Lane offsets b
+    # are lane rolls (wrap lands only where weights/bounds mask it).
+    # Only the (2h+2) lane rolls are cached (VMEM budget); sublane shifts
+    # are cheap row renumberings recomputed per tap.
+    lane_rolls = {}
+
+    def lane(b):
+        if b not in lane_rolls:
+            lane_rolls[b] = pltpu.roll(tile, (ny - b) % ny, 2)
+        return lane_rolls[b]
+
+    def rolled(a, b):
+        shifted = pltpu.roll(lane(b), (rows - (a + _PAD)) % rows, 1)
+        return shifted[:, 0:tb, :]
+
+    z = jnp.zeros((nc, tb, ny), tile.dtype)
+    g00, g10, g01, g11 = z, z, z, z
+    for ox in range(-halo, halo + 1):
+        mx = rx == ox
+        for oy in range(-halo, halo + 1):
+            m = mx & (ry == oy)  # broadcasts over the channel axis
+            g00 = jnp.where(m, rolled(ox, oy), g00)
+            g10 = jnp.where(m, rolled(ox + 1, oy), g10)
+            g01 = jnp.where(m, rolled(ox, oy + 1), g01)
+            g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+
+    has_x1 = dxi < nx - 1
+    has_y1 = dyi < ny - 1
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
+    w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
+    w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
+    value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
+    weight = w00 + w10 + w01 + w11
+    safe_w = jnp.where(weight != 0, weight, 1.0)
+
+    if compose:
+        # u_inc + warped(u_total) in bounds (increment-only when weight==0);
+        # old u_total out of bounds. orig_ref carries u_total's block; the
+        # increment is (ux, uy) stacked.
+        inc = jnp.stack([ux_ref[:, :], uy_ref[:, :]])
+        inc_plus = inc + jnp.where(weight != 0, value / safe_w, 0.0)
+        out_ref[:, :, :] = jnp.where(in_bounds, inc_plus, orig_ref[:, :, :])
+    else:
+        ok = in_bounds & (weight != 0)
+        out_ref[:, :, :] = jnp.where(ok, value / safe_w, orig_ref[:, :, :])
+
+
+def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool):
+    nc, nx, ny = data.shape
+    if tb <= 0:
+        # Keep cached lane rolls within ~2.5 MB of VMEM.
+        budget_rows = int(2.5e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
+        tb = max(8, min(64, (budget_rows // 8) * 8))
+    if nx % tb != 0 or tb % 8 != 0:
+        start = min(tb if tb % 8 == 0 else 64, nx)
+        tb = 8
+        for cand in range(start, 7, -8):
+            if nx % cand == 0:
+                tb = cand
+                break
+    if halo + 1 > _PAD:
+        raise ValueError(f"halo {halo} too large for pad {_PAD}")
+    nblocks = nx // tb
+
+    data_pad = jnp.pad(data, ((0, 0), (_PAD, _PAD), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded data, DMA'd manually
+            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
+            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
+            pl.BlockSpec((nc, tb, ny), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((nc, tb, ny), lambda i: (0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nc, tb + 2 * _PAD, ny), data.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_kernel, halo=halo, tb=tb, nx=nx, nc=nc, compose=compose
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc, nx, ny), data.dtype),
+    )(data_pad, ux, uy, orig)
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "tb"))
+def warp2d_pallas(image, u, halo: int = 2, tb: int = 0):
+    """Bounded-displacement backward warp (``ops.warp.warp2d`` semantics),
+    Pallas-fused. ``image [nx, ny]``, ``u [2, nx, ny]``."""
+    out = _run_gather(image[None], u[0], u[1], image[None], halo, tb, False)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "tb"))
+def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0):
+    """Bounded-displacement motion composition (``ops.warp.compose``
+    semantics), Pallas-fused. Both fields ``[2, nx, ny]``."""
+    return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True)

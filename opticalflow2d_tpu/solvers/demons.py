@@ -34,20 +34,22 @@ def make_demons_step(
     conv_flatwrap: bool = False,
     maxabs_bug: bool = False,
     warp_halo: int = 0,
+    use_pallas: bool = False,
 ):
     """Build the demons step ``(u, iref, imov) -> u``. ``imov`` is the
     refinement-level warped moving image (the reference's ``Iaux``)."""
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
-        iwar = warp2d(imov, u, warp_halo)
+        iwar = warp2d(imov, u, warp_halo, use_pallas)
         d = derivatives(iref, iwar)
         c = demons_force(d, sigma_i, sigma_x)
         c = gaussian_smooth(c, sigma_fluid, kernelwidth, flatwrap=conv_flatwrap)
         if diffeomorphic:
-            c = expmap(c, maxabs_bug=maxabs_bug, halo=warp_halo)
-            u = compose(u, c, warp_halo)
+            c = expmap(c, maxabs_bug=maxabs_bug, halo=warp_halo,
+                       use_pallas=use_pallas)
+            u = compose(u, c, warp_halo, use_pallas)
         elif accumulation == MotionAccumulation.COMPOSITION:
-            u = compose(u, c, warp_halo)
+            u = compose(u, c, warp_halo, use_pallas)
         else:
             u = u + c
         u = gaussian_smooth(u, sigma_diffusion, kernelwidth, flatwrap=conv_flatwrap)

@@ -54,3 +54,52 @@ def test_register_with_pallas_diffusion_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(got.motion), np.asarray(want.motion), rtol=1e-5, atol=1e-6
     )
+
+
+def test_warp_pallas_matches_jnp(rng):
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import warp2d_pallas
+
+    nx, ny = 64, 48
+    img = jnp.asarray(rng.standard_normal((nx, ny)).astype(np.float32))
+    u = jnp.asarray(
+        np.clip(1.5 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = warp2d(img, u)
+    with pltpu.force_tpu_interpret_mode():
+        got = warp2d_pallas(img, u, halo=2, tb=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_compose_pallas_matches_jnp(rng):
+    from opticalflow2d_tpu.ops.warp import compose
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import compose_pallas
+
+    nx, ny = 64, 48
+    u_total = jnp.asarray(
+        np.clip(2.0 * rng.standard_normal((2, nx, ny)), -4, 4).astype(np.float32)
+    )
+    u_inc = jnp.asarray(
+        np.clip(1.0 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = compose(u_total, u_inc)
+    with pltpu.force_tpu_interpret_mode():
+        got = compose_pallas(u_total, u_inc, halo=2, tb=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_register_demons_with_pallas_warp_matches():
+    """Full demons registration with use_pallas (interpret mode) vs jnp."""
+    from opticalflow2d_tpu import register, RegConfig, Method
+
+    iref, imov = make_pair(32, 32, shift=(1.0, -0.5))
+    base = RegConfig(method=Method.THIRIONS_DEMONS, niter=(6,), nscales=0,
+                     warp_halo=2, warp_halo_outer=2)
+    pal = RegConfig(method=Method.THIRIONS_DEMONS, niter=(6,), nscales=0,
+                    warp_halo=2, warp_halo_outer=2, use_pallas=True)
+    want = register(iref, imov, base)
+    with pltpu.force_tpu_interpret_mode():
+        got = register(iref, imov, pal)
+    np.testing.assert_allclose(
+        np.asarray(got.motion), np.asarray(want.motion), rtol=1e-5, atol=1e-6
+    )
