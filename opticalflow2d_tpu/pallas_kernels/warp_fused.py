@@ -111,8 +111,10 @@ def _gather_kernel(data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref, tile_sc,
 def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool):
     nc, nx, ny = data.shape
     if tb <= 0:
-        # Keep cached lane rolls within ~2.5 MB of VMEM.
-        budget_rows = int(2.5e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
+        # Keep cached lane rolls within ~1.2 MB of VMEM (the Mosaic scoped
+        # stack also holds the select-chain intermediates; measured 2.5 MB
+        # OOMs for 2-channel compose at halo 6).
+        budget_rows = int(1.2e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
         tb = max(8, min(64, (budget_rows // 8) * 8))
     if nx % tb != 0 or tb % 8 != 0:
         start = min(tb if tb % 8 == 0 else 64, nx)
