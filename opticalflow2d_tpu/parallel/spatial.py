@@ -497,6 +497,145 @@ def make_demons_level_sharded(
     return jax.jit(solve)
 
 
+def _downsample2_local(f, axis_name: str):
+    """Factor-2 box downsample of ``[..., nxl, ny]`` strips — purely local
+    when nxl is even (each strip's patches stay inside it), matching
+    ``ops.resample.downsample_image`` for pyramid dims."""
+    nxl, ny = f.shape[-2], f.shape[-1]
+    shaped = f.reshape(*f.shape[:-2], nxl // 2, 2, ny // 2, 2)
+    return shaped.mean(axis=(-3, -1))
+
+
+def _upsample2_local(f, axis_name: str):
+    """Factor-2 origin-aligned bilinear upsample of ``[..., nxl, ny]``
+    strips with a 1-row halo (output rows 2i need in-rows i, i ok; rows
+    2i+1 need i and i+1 — the +1 may live on the next strip). Matches
+    ``ops.resample.upsample_image`` for even global dims."""
+    nxl, ny = f.shape[-2], f.shape[-1]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    nx_glob = n * nxl
+
+    # x-direction: out[2i] = in[i]; out[2i+1] = (in[i] + in[i+1]) / 2,
+    # renormalized at the global last row (only in[i] contributes).
+    _top, bot = _halo_exchange_k(f, 1, axis_name)
+    nxt = jnp.concatenate([f[..., 1:, :], bot], axis=-2)  # in[i+1]
+    gi = lax.broadcasted_iota(jnp.int32, (nxl, 1), 0) + idx * nxl
+    last = (gi == nx_glob - 1)
+    odd = jnp.where(last, f, (f + nxt) * 0.5)
+    up_x = jnp.stack([f, odd], axis=-2).reshape(*f.shape[:-2], 2 * nxl, ny)
+
+    # y-direction (unsharded): same pattern locally.
+    nxt_y = jnp.concatenate(
+        [up_x[..., :, 1:], jnp.zeros_like(up_x[..., :, :1])], axis=-1
+    )
+    gj = lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+    last_y = (gj == ny - 1)
+    odd_y = jnp.where(last_y, up_x, (up_x + nxt_y) * 0.5)
+    return jnp.stack([up_x, odd_y], axis=-1).reshape(
+        *up_x.shape[:-1], 2 * ny
+    )
+
+
+def make_register_demons_sp(
+    mesh: Mesh,
+    sigma_i: float,
+    sigma_x: float,
+    sigma_diffusion: float,
+    sigma_fluid: float,
+    kernelwidth: int,
+    niter,
+    nscales: int = 1,
+    halo: int = 2,
+    convergence_tol: float = 0.001,
+):
+    """A COMPLETE multi-resolution demons registration as one explicit
+    shard_map program: sharded image pyramid (local factor-2 box
+    downsample), per-level demons solves (halo-exchanged warp/gradient/
+    smooth/compose, psum convergence), and sharded factor-2 upsampling with
+    motion rescale between levels. No auto-SPMD anywhere — every collective
+    is a visible ppermute/psum.
+
+    Constraints: global dims divisible by ``2^nscales * mesh_x`` (strip dims
+    stay even at every level); displacement contract within ``halo`` at
+    every level. Matches the registration driver exactly for nscales <= 1;
+    deeper pyramids carry the motion by successive 2x upsampling rather
+    than the reference's full-res round trip (documented deviation).
+    Signature: ``(iref [nx,ny], imov) -> (u [2,nx,ny],
+    iterations [nscales+1])``.
+    """
+    niter = tuple(int(v) for v in niter)
+
+    def demons_level(u, iref_l, imov_l, level_niter):
+        iaux = _warp_local(imov_l, u, halo, "x")
+
+        def one_step(u_est):
+            iwar = _warp_local(iaux, u_est, halo, "x")
+            grad = _gradient_local(iwar, "x")
+            it_img = iwar - iref_l
+            den = (grad[0] ** 2 + grad[1] ** 2
+                   + it_img**2 * (sigma_i**2) / (sigma_x**2))
+            num = grad * it_img[None] * -1.0
+            c = jnp.where(den[None] > 0,
+                          num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
+            c = _gaussian_local(c, sigma_fluid, kernelwidth)
+            u_new = _compose_local(u_est, c, halo, "x")
+            return _gaussian_local(u_new, sigma_diffusion, kernelwidth)
+
+        def norm_g(v):
+            mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+            return lax.psum(jnp.sum(mag), "x") / lax.psum(
+                jnp.float32(mag.size), "x"
+            )
+
+        def cond(carry):
+            _, _, it, conv = carry
+            return (it < level_niter) & ~conv
+
+        def body(carry):
+            u_est, prev, it, conv = carry
+            u_new = one_step(u_est)
+            pn = norm_g(prev)
+            dn = norm_g(u_new - prev)
+            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+            conv = (err < convergence_tol) & (it > 1)
+            return (u_new, u_new, it + 1, conv)
+
+        u0 = jnp.zeros_like(u)
+        u_est, _, it, _ = lax.while_loop(
+            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
+        )
+        return _compose_local(u, u_est, halo, "x"), it
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("x", None), P("x", None)),
+        out_specs=(P(None, "x", None), P()),
+        check_vma=False,
+    )
+    def solve(iref, imov):
+        # Sharded image pyramid, each level downsampled from the previous
+        # (equivalent to from-full-res for factor-2^s box filters on
+        # divisible dims).
+        irefs = [iref]
+        imovs = [imov]
+        for _ in range(nscales):
+            irefs.append(_downsample2_local(irefs[-1], "x"))
+            imovs.append(_downsample2_local(imovs[-1], "x"))
+
+        iters = []
+        u = jnp.zeros((2,) + irefs[nscales].shape, iref.dtype)
+        for s in range(nscales, -1, -1):
+            u, it = demons_level(u, irefs[s], imovs[s], niter[s])
+            iters.append(it)
+            if s > 0:
+                # Bilinear upsample + component rescale by the dim ratio.
+                u = _upsample2_local(u, "x") * 2.0
+        return u, jnp.stack(iters)
+
+    return jax.jit(solve)
+
+
 def make_variational_level_sharded(
     mesh: Mesh,
     method: str,

@@ -369,3 +369,26 @@ def test_register_batch_warm_start(impl):
         np.asarray(warm.motion[1]), np.asarray(serial.motion),
         rtol=2e-4, atol=1e-5,
     )
+
+
+@requires_8
+def test_register_demons_sp_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_register_demons_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_register_demons_sp(
+        mesh, 1.0, 0.25, 2.0, 2.0, 5, niter=[10, 8], nscales=1, halo=2
+    )
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(10, 8), nscales=1,
+                    warp_halo=2, warp_halo_outer=2)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
