@@ -14,6 +14,7 @@ from opticalflow2d_tpu.parallel.spatial import (
     make_fluid_level_sharded,
     make_variational_level_sharded,
     make_register_demons_sp,
+    make_register_sp,
 )
 from opticalflow2d_tpu.parallel.dct_dist import (
     make_dct2_sharded,
@@ -30,7 +31,7 @@ __all__ = [
     "make_gaussian_smooth_sharded", "make_warp2d_sharded",
     "make_demons_step_sharded", "make_demons_level_sharded",
     "make_fluid_level_sharded", "make_variational_level_sharded",
-    "make_register_demons_sp",
+    "make_register_demons_sp", "make_register_sp",
     "make_dct2_sharded", "make_curvature_step_sharded",
     "initialize_multihost", "shard_batch_for_host",
 ]

@@ -100,12 +100,34 @@ def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 def _halo_exchange_k(f: jnp.ndarray, k: int, axis_name: str):
     """Exchange k-row halos along the sharded x axis. Returns (top, bot)
-    blocks of shape ``[..., k, ny]`` (zeros at the global boundary)."""
+    blocks of shape ``[..., k, ny]`` (zeros at the global boundary).
+
+    Supports ``k > nxl`` (halo wider than a strip, e.g. warp halos at coarse
+    pyramid levels) via multi-hop ppermutes: whole neighbour strips are
+    pulled hop by hop and the halo sliced from their concatenation.
+    """
+    nxl = f.shape[-2]
     n = lax.psum(1, axis_name)
-    send_down = [(i, i + 1) for i in range(n - 1)]
-    send_up = [(i + 1, i) for i in range(n - 1)]
-    top = lax.ppermute(f[..., -k:, :], axis_name, send_down)
-    bot = lax.ppermute(f[..., :k, :], axis_name, send_up)
+    if k <= nxl:
+        send_down = [(i, i + 1) for i in range(n - 1)]
+        send_up = [(i + 1, i) for i in range(n - 1)]
+        top = lax.ppermute(f[..., -k:, :], axis_name, send_down)
+        bot = lax.ppermute(f[..., :k, :], axis_name, send_up)
+        return top, bot
+
+    hops = -(-k // nxl)  # ceil
+    top_parts = []
+    bot_parts = []
+    for h in range(hops, 0, -1):
+        top_parts.append(
+            lax.ppermute(f, axis_name, [(i, i + h) for i in range(n - h)])
+        )
+    for h in range(1, hops + 1):
+        bot_parts.append(
+            lax.ppermute(f, axis_name, [(i + h, i) for i in range(n - h)])
+        )
+    top = jnp.concatenate(top_parts, axis=-2)[..., -k:, :]
+    bot = jnp.concatenate(bot_parts, axis=-2)[..., :k, :]
     return top, bot
 
 
@@ -535,6 +557,166 @@ def _upsample2_local(f, axis_name: str):
     return jnp.stack([up_x, odd_y], axis=-1).reshape(
         *up_x.shape[:-1], 2 * ny
     )
+
+
+def _norm_psum(v, axis_name: str):
+    mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+    return lax.psum(jnp.sum(mag), axis_name) / lax.psum(
+        jnp.float32(mag.size), axis_name
+    )
+
+
+def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
+                 p: dict, convergence_tol: float):
+    """One level solve on local strips (inside shard_map): family-dispatched
+    per-iteration step + the Logger convergence gate via psum norms +
+    final composition. Families: thirions, diffeo, diffusion, elastic,
+    fluid."""
+    iaux = _warp_local(imov_l, u, halo, "x")
+
+    if family in ("thirions", "diffeo"):
+        def one_step(state):
+            u_est, _aux = state
+            iwar = _warp_local(iaux, u_est, halo, "x")
+            grad = _gradient_local(iwar, "x")
+            it_img = iwar - iref_l
+            den = (grad[0] ** 2 + grad[1] ** 2
+                   + it_img**2 * (p["sigma_i"]**2) / (p["sigma_x"]**2))
+            num = grad * it_img[None] * -1.0
+            c = jnp.where(den[None] > 0,
+                          num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
+            c = _gaussian_local(c, p["sigma_fluid"], p["kernelwidth"])
+            if family == "diffeo":
+                normsq = c[0] ** 2 + c[1] ** 2
+                m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
+                nsq_f = jnp.ceil(
+                    1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny))
+                )
+                nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(
+                    jnp.int32
+                )
+                v = c * jnp.exp2(-nsq.astype(c.dtype))
+                v = lax.fori_loop(
+                    0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v
+                )
+                c = v
+            u_new = _compose_local(u_est, c, halo, "x")
+            return _gaussian_local(u_new, p["sigma_diffusion"], p["kernelwidth"]), _aux
+        aux0 = ()
+    elif family in ("diffusion", "elastic"):
+        grad_i = _gradient_local(iaux, "x")
+        it_img = iaux - iref_l
+        nxl, ny = iref_l.shape
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+        if family == "diffusion":
+            den = p["alpha"] ** 2 + grad_i[0] ** 2 + grad_i[1] ** 2
+
+            def one_step(state):
+                u_est, _aux = state
+                q = _qlaplacian_halo(u_est, "x")
+                inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
+                f = grad_i * inner[None]
+                return q - f / den[None], _aux
+        else:
+            from opticalflow2d_tpu.solvers.elastic import _gs_candidate
+
+            interior = ((gi >= 1) & (gi <= nx_glob - 2)
+                        & (gj >= 1) & (gj <= ny - 2))
+            red = ((gi + gj) % 2 == 0) & interior
+            black = ((gi + gj) % 2 == 1) & interior
+
+            def one_step(state):
+                u_est, _aux = state
+                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+                b = grad_i * inner[None]
+                zrow = jnp.zeros((2, 1, ny), u_est.dtype)
+                b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
+
+                def half(x, mask):
+                    top, bot = _halo_exchange_k(x, 1, "x")
+                    xp = jnp.concatenate([top, x, bot], axis=-2)
+                    cand = _gs_candidate(
+                        xp, b_pad, p["mu"], p["lam"], p.get("omega", 0.66),
+                        p.get("reference_stencil", True),
+                    )
+                    return jnp.where(mask, cand[:, 1:-1, :], x)
+
+                return half(half(u_est, red), black), _aux
+        aux0 = ()
+    else:  # pragma: no cover
+        raise ValueError(family)
+
+    def cond(carry):
+        _, _, _, it, conv = carry
+        return (it < level_niter) & ~conv
+
+    def body(carry):
+        u_est, aux, prev, it, conv = carry
+        u_new, aux = one_step((u_est, aux))
+        pn = _norm_psum(prev, "x")
+        dn = _norm_psum(u_new - prev, "x")
+        err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+        conv = (err < convergence_tol) & (it > 1)
+        return (u_new, aux, u_new, it + 1, conv)
+
+    u0 = jnp.zeros_like(u)
+    u_est, _, _, it, _ = lax.while_loop(
+        cond, body, (u0, aux0, u0, jnp.int32(0), jnp.bool_(False))
+    )
+    return _compose_local(u, u_est, halo, "x"), it
+
+
+def make_register_sp(
+    mesh: Mesh,
+    family: str,
+    niter,
+    nscales: int = 1,
+    halo: int = 2,
+    convergence_tol: float = 0.001,
+    **params,
+):
+    """A COMPLETE multi-resolution registration as one explicit shard_map
+    program for any of {"thirions", "diffeo", "diffusion", "elastic"}:
+    sharded image pyramid, per-level solves with explicit collectives, and
+    sharded factor-2 resampling with motion rescale between levels.
+
+    Constraints as in ``make_register_demons_sp`` (dims divisible by
+    ``2^nscales * mesh_x``; displacement contract within ``halo``; matches
+    the registration driver exactly for nscales <= 1).
+    Signature: ``(iref, imov) -> (u [2,nx,ny], iterations [nscales+1])``.
+    """
+    niter = tuple(int(v) for v in niter)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("x", None), P("x", None)),
+        out_specs=(P(None, "x", None), P()),
+        check_vma=False,
+    )
+    def solve(iref, imov):
+        irefs = [iref]
+        imovs = [imov]
+        for _ in range(nscales):
+            irefs.append(_downsample2_local(irefs[-1], "x"))
+            imovs.append(_downsample2_local(imovs[-1], "x"))
+
+        iters = []
+        u = jnp.zeros((2,) + irefs[nscales].shape, iref.dtype)
+        for sc in range(nscales, -1, -1):
+            u, it = _level_local(
+                family, u, irefs[sc], imovs[sc], niter[sc], halo, params,
+                convergence_tol,
+            )
+            iters.append(it)
+            if sc > 0:
+                u = _upsample2_local(u, "x") * 2.0
+        return u, jnp.stack(iters)
+
+    return jax.jit(solve)
 
 
 def make_register_demons_sp(

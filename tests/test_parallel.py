@@ -392,3 +392,31 @@ def test_register_demons_sp_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+@pytest.mark.parametrize("family,kw,serial_kw", [
+    ("diffusion", dict(alpha=0.5), dict(method=Method.DIFFUSION, alpha=0.5)),
+    ("elastic", dict(mu=0.5, lam=0.0), dict(method=Method.ELASTIC, mu=0.5, lam=0.0)),
+    ("diffeo", dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+                    sigma_fluid=2.0, kernelwidth=5),
+     dict(method=Method.DIFFEOMORPHIC_DEMONS)),
+])
+def test_register_sp_families_match_register(family, kw, serial_kw):
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_register_sp(mesh, family, niter=[8, 6], nscales=1, halo=4, **kw)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(niter=(8, 6), nscales=1, warp_halo=4, warp_halo_outer=4,
+                    **serial_kw)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
