@@ -647,8 +647,109 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
 
                 return half(half(u_est, red), black), _aux
         aux0 = ()
+    elif family == "fluid":
+        # Fluid needs its own loop shape (regridding mutates u/derivatives);
+        # handled below instead of the generic while-loop.
+        pass
     else:  # pragma: no cover
         raise ValueError(family)
+
+    if family == "fluid":
+        from opticalflow2d_tpu.solvers.elastic import _gs_candidate
+
+        nxl, ny = iref_l.shape
+        mu, lam = p["mu"], p["lam"]
+        omega = p.get("omega", 0.66)
+        dumax = p.get("dumax", 0.65)
+        ts_skip = p.get("timestep_skip", 65.0)
+        rg_thr = p.get("regrid_threshold", 0.5)
+        idx = lax.axis_index("x")
+        n = lax.psum(1, "x")
+        nx_glob = n * nxl
+        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
+        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
+        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
+        red = ((gi + gj) % 2 == 0) & interior
+        black = ((gi + gj) % 2 == 1) & interior
+
+        def sor(x, b):
+            zrow = jnp.zeros((2, 1, ny), x.dtype)
+            b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
+
+            def half(x, mask):
+                top, bot = _halo_exchange_k(x, 1, "x")
+                xp = jnp.concatenate([top, x, bot], axis=-2)
+                cand = _gs_candidate(
+                    xp, b_pad, mu, lam, omega,
+                    p.get("reference_stencil", True),
+                )
+                return jnp.where(mask, cand[:, 1:-1, :], x)
+
+            return half(half(x, red), black)
+
+        def partials(f):
+            top, bot = _halo_exchange_k(f, 1, "x")
+            fp = jnp.concatenate([top, f, bot], axis=-2)
+            gx = (fp[..., 2:, :] - fp[..., :-2, :]) * 0.5
+            first = fp[..., 2:, :] - fp[..., 1:-1, :]
+            last = fp[..., 1:-1, :] - fp[..., :-2, :]
+            gx = jnp.where(gi == 0, first,
+                           jnp.where(gi == nx_glob - 1, last, gx))
+            from opticalflow2d_tpu.ops.grid import partial_y
+
+            return gx, partial_y(f)
+
+        def derive(u_tot):
+            ia = _warp_local(imov_l, u_tot, halo, "x")
+            g = _gradient_local(ia, "x")
+            return g, ia - iref_l
+
+        grad_i0, it_img0 = _gradient_local(iaux, "x"), iaux - iref_l
+
+        def fcond(carry):
+            it, conv = carry[-3], carry[-2]
+            return (it < level_niter) & ~conv
+
+        def fbody(carry):
+            u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
+            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+            f = grad_i * inner[None]
+            vel = sor(vel, f)
+            dudx, dudy = partials(u_est)
+            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+            m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), "x"))
+            dt = dumax / m
+            do_step = dt < ts_skip
+            u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0),
+                              u_est)
+            pn = _norm_psum(prev, "x")
+            dn = _norm_psum(u_new - prev, "x")
+            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+            conv = (err < convergence_tol) & (it > 1)
+            dudx2, dudy2 = partials(u_new)
+            jac = (1.0 + dudx2[0]) * (1.0 + dudy2[1]) - dudx2[1] * dudy2[0]
+            do_regrid = ~conv & (lax.pmin(jnp.min(jac), "x") < rg_thr)
+            logged = u_new
+
+            def regrid(args):
+                u_tot, u_new, grad_i, it_img = args
+                u_tot2 = _compose_local(u_tot, u_new, halo, "x")
+                g2, t2 = derive(u_tot2)
+                return u_tot2, jnp.zeros_like(u_new), g2, t2
+
+            u_tot, u_new, grad_i, it_img = lax.cond(
+                do_regrid, regrid, lambda a: a, (u_tot, u_new, grad_i, it_img)
+            )
+            return (u_tot, u_new, logged, vel, grad_i, it_img, it + 1, conv,
+                    nregrid + do_regrid.astype(jnp.int32))
+
+        u0 = jnp.zeros_like(u)
+        carry = (u, u0, u0, u0, grad_i0, it_img0, jnp.int32(0),
+                 jnp.bool_(False), jnp.int32(0))
+        u_tot, u_est, _, _, _, _, it, _, _ = lax.while_loop(
+            fcond, fbody, carry
+        )
+        return _compose_local(u_tot, u_est, halo, "x"), it
 
     def cond(carry):
         _, _, _, it, conv = carry
@@ -680,7 +781,8 @@ def make_register_sp(
     **params,
 ):
     """A COMPLETE multi-resolution registration as one explicit shard_map
-    program for any of {"thirions", "diffeo", "diffusion", "elastic"}:
+    program for any of {"thirions", "diffeo", "diffusion", "elastic",
+    "fluid"}:
     sharded image pyramid, per-level solves with explicit collectives, and
     sharded factor-2 resampling with motion rescale between levels.
 
@@ -731,91 +833,14 @@ def make_register_demons_sp(
     halo: int = 2,
     convergence_tol: float = 0.001,
 ):
-    """A COMPLETE multi-resolution demons registration as one explicit
-    shard_map program: sharded image pyramid (local factor-2 box
-    downsample), per-level demons solves (halo-exchanged warp/gradient/
-    smooth/compose, psum convergence), and sharded factor-2 upsampling with
-    motion rescale between levels. No auto-SPMD anywhere — every collective
-    is a visible ppermute/psum.
-
-    Constraints: global dims divisible by ``2^nscales * mesh_x`` (strip dims
-    stay even at every level); displacement contract within ``halo`` at
-    every level. Matches the registration driver exactly for nscales <= 1;
-    deeper pyramids carry the motion by successive 2x upsampling rather
-    than the reference's full-res round trip (documented deviation).
-    Signature: ``(iref [nx,ny], imov) -> (u [2,nx,ny],
-    iterations [nscales+1])``.
-    """
-    niter = tuple(int(v) for v in niter)
-
-    def demons_level(u, iref_l, imov_l, level_niter):
-        iaux = _warp_local(imov_l, u, halo, "x")
-
-        def one_step(u_est):
-            iwar = _warp_local(iaux, u_est, halo, "x")
-            grad = _gradient_local(iwar, "x")
-            it_img = iwar - iref_l
-            den = (grad[0] ** 2 + grad[1] ** 2
-                   + it_img**2 * (sigma_i**2) / (sigma_x**2))
-            num = grad * it_img[None] * -1.0
-            c = jnp.where(den[None] > 0,
-                          num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
-            c = _gaussian_local(c, sigma_fluid, kernelwidth)
-            u_new = _compose_local(u_est, c, halo, "x")
-            return _gaussian_local(u_new, sigma_diffusion, kernelwidth)
-
-        def norm_g(v):
-            mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
-            return lax.psum(jnp.sum(mag), "x") / lax.psum(
-                jnp.float32(mag.size), "x"
-            )
-
-        def cond(carry):
-            _, _, it, conv = carry
-            return (it < level_niter) & ~conv
-
-        def body(carry):
-            u_est, prev, it, conv = carry
-            u_new = one_step(u_est)
-            pn = norm_g(prev)
-            dn = norm_g(u_new - prev)
-            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
-            conv = (err < convergence_tol) & (it > 1)
-            return (u_new, u_new, it + 1, conv)
-
-        u0 = jnp.zeros_like(u)
-        u_est, _, it, _ = lax.while_loop(
-            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
-        )
-        return _compose_local(u, u_est, halo, "x"), it
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P("x", None), P("x", None)),
-        out_specs=(P(None, "x", None), P()),
-        check_vma=False,
+    """Back-compat wrapper: the complete explicit-SP Thirion demons
+    registration (see ``make_register_sp``)."""
+    return make_register_sp(
+        mesh, "thirions", niter, nscales=nscales, halo=halo,
+        convergence_tol=convergence_tol,
+        sigma_i=sigma_i, sigma_x=sigma_x, sigma_diffusion=sigma_diffusion,
+        sigma_fluid=sigma_fluid, kernelwidth=kernelwidth,
     )
-    def solve(iref, imov):
-        # Sharded image pyramid, each level downsampled from the previous
-        # (equivalent to from-full-res for factor-2^s box filters on
-        # divisible dims).
-        irefs = [iref]
-        imovs = [imov]
-        for _ in range(nscales):
-            irefs.append(_downsample2_local(irefs[-1], "x"))
-            imovs.append(_downsample2_local(imovs[-1], "x"))
-
-        iters = []
-        u = jnp.zeros((2,) + irefs[nscales].shape, iref.dtype)
-        for s in range(nscales, -1, -1):
-            u, it = demons_level(u, irefs[s], imovs[s], niter[s])
-            iters.append(it)
-            if s > 0:
-                # Bilinear upsample + component rescale by the dim ratio.
-                u = _upsample2_local(u, "x") * 2.0
-        return u, jnp.stack(iters)
-
-    return jax.jit(solve)
 
 
 def make_variational_level_sharded(

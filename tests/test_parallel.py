@@ -420,3 +420,25 @@ def test_register_sp_families_match_register(family, kw, serial_kw):
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_register_sp_fluid_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+
+    solve = make_register_sp(mesh, "fluid", niter=[10, 8], nscales=1, halo=5,
+                             mu=0.25, lam=0.0)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.FLUID, niter=(10, 8), nscales=1, mu=0.25,
+                    lam=0.0, warp_halo=0, warp_halo_outer=0)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
