@@ -647,6 +647,47 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
 
                 return half(half(u_est, red), black), _aux
         aux0 = ()
+    elif family == "curvature":
+        from opticalflow2d_tpu.ops.dct import (
+            _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
+        )
+
+        grad_i = _gradient_local(iaux, "x")
+        it_img = iaux - iref_l
+        nxl, ny = iref_l.shape
+        n_sz = lax.psum(1, "x")
+        nx_g = n_sz * nxl
+        nyl = ny // n_sz
+        if ny % n_sz:
+            raise ValueError("curvature SP needs ny divisible by the mesh")
+        c2x = jnp.asarray(_dct2_matrix(nx_g), u.dtype)
+        c3x = jnp.asarray(_dct3_matrix(nx_g), u.dtype)
+        c2y = jnp.asarray(_dct2_matrix(ny), u.dtype)
+        c3y = jnp.asarray(_dct3_matrix(ny), u.dtype)
+        eig = curvature_eigenvalues(nx_g, ny, p["alpha"], p.get("tau", 1.0),
+                                    u.dtype)
+        scale = 1.0 / (4.0 * nx_g * ny)
+        tau = p.get("tau", 1.0)
+
+        def one_step(state):
+            u_est, _aux = state
+            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+            f = grad_i * inner[None]
+            rhs = u_est - tau * f
+            t = jnp.matmul(rhs, c2y.T, precision=lax.Precision.HIGHEST)
+            t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
+            eig_slice = lax.dynamic_slice(
+                eig, (0, lax.axis_index("x") * nyl), (nx_g, nyl)
+            )
+            t = jnp.einsum("kx,cxy->cky", c2x, t,
+                           precision=lax.Precision.HIGHEST) * eig_slice[None]
+            t = jnp.einsum("kx,cxy->cky", c3x, t,
+                           precision=lax.Precision.HIGHEST)
+            t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
+            t = jnp.matmul(t, c3y.T, precision=lax.Precision.HIGHEST)
+            return t * scale, _aux
+
+        aux0 = ()
     elif family == "fluid":
         # Fluid needs its own loop shape (regridding mutates u/derivatives);
         # handled below instead of the generic while-loop.
@@ -782,7 +823,7 @@ def make_register_sp(
 ):
     """A COMPLETE multi-resolution registration as one explicit shard_map
     program for any of {"thirions", "diffeo", "diffusion", "elastic",
-    "fluid"}:
+    "curvature", "fluid"}:
     sharded image pyramid, per-level solves with explicit collectives, and
     sharded factor-2 resampling with motion rescale between levels.
 

@@ -442,3 +442,25 @@ def test_register_sp_fluid_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_register_sp_curvature_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_register_sp(mesh, "curvature", niter=[8, 6], nscales=1,
+                             halo=4, alpha=0.1, tau=1.0)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.CURVATURE, niter=(8, 6), nscales=1,
+                    alpha=0.1, tau=1.0, warp_halo=4, warp_halo_outer=4)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-4
+    )
