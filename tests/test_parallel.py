@@ -464,3 +464,49 @@ def test_register_sp_curvature_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-4
     )
+
+
+@requires_8
+@pytest.mark.parametrize("seed", range(4))
+def test_register_sp_fuzz_vs_serial(seed):
+    """Seeded fuzz of the explicit-SP registration vs the serial driver."""
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    rng = np.random.default_rng(100 + seed)
+    fam, method = [
+        ("thirions", Method.THIRIONS_DEMONS),
+        ("diffusion", Method.DIFFUSION),
+        ("elastic", Method.ELASTIC),
+        ("fluid", Method.FLUID),
+    ][seed % 4]
+    niter = [int(rng.integers(4, 10)), int(rng.integers(4, 10))]
+    shift = (float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-1.5, 1.5)))
+    iref, imov = make_pair(64, 48, shift=shift)
+
+    kw = {}
+    serial_kw = dict(method=method)
+    if fam == "thirions":
+        kw = dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+                  sigma_fluid=2.0, kernelwidth=5)
+    elif fam == "diffusion":
+        a = float(rng.uniform(0.3, 1.0))
+        kw = dict(alpha=a); serial_kw["alpha"] = a
+    elif fam == "elastic":
+        m = float(rng.uniform(0.3, 0.8))
+        kw = dict(mu=m, lam=0.0); serial_kw.update(mu=m, lam=0.0)
+    else:
+        kw = dict(mu=0.25, lam=0.0); serial_kw.update(mu=0.25, lam=0.0)
+
+    mesh = make_mesh(data=1, x=8)
+    solve = make_register_sp(mesh, fam, niter=niter, nscales=1, halo=5, **kw)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(niter=tuple(niter), nscales=1, warp_halo=0,
+                    warp_halo_outer=0, **serial_kw)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
