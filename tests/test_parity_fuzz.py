@@ -51,7 +51,7 @@ def _draw(seed):
     return method, nx, ny, nscales, nrefine, niter, shift, params
 
 
-@pytest.mark.parametrize("seed", range(32))
+@pytest.mark.parametrize("seed", range(12))
 def test_random_config_parity(seed):
     method, nx, ny, nscales, nrefine, niter, shift, params = _draw(seed)
     iref, imov = make_pair(nx, ny, shift=shift)
