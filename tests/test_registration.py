@@ -218,3 +218,17 @@ def test_tiny_images_do_not_crash(shape):
         cfg = RegConfig(method=method, niter=(5,), nscales=0, warp_halo=0, warp_halo_outer=0, **kw)
         res = register(iref, imov, cfg)
         assert np.isfinite(np.asarray(res.motion)).all()
+
+
+def test_session_verbose_output(capsys):
+    iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+    sess = OpticalFlow2d(
+        (32, 28), niter=[5, 5], nscales=1, regularisation=Method.DIFFUSION,
+        regparams=[0.5], verbose=True,
+    )
+    sess.register(iref, imov)
+    out = capsys.readouterr().out
+    # The parameter banner and per-scale convergence summaries
+    # (the Logger/display_registration_parameters analogues).
+    assert "regularisation:  DIFFUSION" in out
+    assert "scale 1:" in out and "scale 0:" in out
