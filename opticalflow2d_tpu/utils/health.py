@@ -15,7 +15,8 @@ import jax.numpy as jnp
 def debug_nans(enable: bool = True):
     """Scoped ``jax_debug_nans``: any NaN produced under jit raises with the
     offending primitive. Use around a failing registration to localize."""
-    prev = jax.config.read("jax_debug_nans")
+    # Context-managed flags must be read via the attribute, not config.read.
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

@@ -99,3 +99,14 @@ def test_trace_context_smoke(tmp_path):
     with trace(str(tmp_path / "tr")) as logdir:
         jnp.sum(jnp.ones((8, 8))).block_until_ready()
     assert logdir
+
+
+def test_debug_nans_scope():
+    from opticalflow2d_tpu.utils.health import debug_nans
+    import jax
+
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.float32(-1.0)).block_until_ready()
+    assert not jax.config.jax_debug_nans
