@@ -45,7 +45,7 @@ def main():
         r = np.random.default_rng(k)
         for _ in range(20):
             cx, cy = r.uniform(0, n, 2)
-            s = r.uniform(4, n * 0.1)
+            s = r.uniform(2, max(4.0, n * 0.1))
             img += r.uniform(-1, 1) * np.exp(
                 -((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * s * s)
             ).astype(np.float32)
