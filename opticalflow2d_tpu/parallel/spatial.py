@@ -58,22 +58,6 @@ def register_sharded(iref, imov, cfg: RegConfig, mesh: Mesh) -> RegistrationResu
 # Path 2: explicit halo exchange with shard_map + ppermute
 # ---------------------------------------------------------------------------
 
-def _halo_exchange_rows(f: jnp.ndarray, axis_name: str):
-    """Exchange 1-row halos along the sharded x axis over ICI.
-
-    ``f`` is the local strip ``[..., nxl, ny]``. Returns (top, bot): the
-    last row of the left (lower-index) neighbor and the first row of the
-    right neighbor; zeros at the global boundary (masked out by the caller's
-    border stencils).
-    """
-    n = lax.psum(1, axis_name)
-    send_down = [(i, i + 1) for i in range(n - 1)]   # my last row -> next shard
-    send_up = [(i + 1, i) for i in range(n - 1)]     # my first row -> prev shard
-    top = lax.ppermute(f[..., -1:, :], axis_name, send_down)
-    bot = lax.ppermute(f[..., :1, :], axis_name, send_up)
-    return top, bot
-
-
 def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Quasi-laplacian (4-neighbour average, zero at global borders) on a
     local x-strip with halo exchange. ``f`` is ``[..., nxl, ny]``."""
@@ -81,7 +65,7 @@ def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     idx = lax.axis_index(axis_name)
     n = lax.psum(1, axis_name)
 
-    top, bot = _halo_exchange_rows(f, axis_name)
+    top, bot = _halo_exchange_k(f, 1, axis_name)
     fp = jnp.concatenate([top, f, bot], axis=-2)  # [..., nxl+2, ny]
 
     x_sum = fp[..., 2:, :] + fp[..., :-2, :]
