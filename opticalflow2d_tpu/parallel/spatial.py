@@ -812,8 +812,9 @@ def make_register_sp(
     sharded factor-2 resampling with motion rescale between levels.
 
     Constraints as in ``make_register_demons_sp`` (dims divisible by
-    ``2^nscales * mesh_x``; displacement contract within ``halo``; matches
-    the registration driver exactly for nscales <= 1).
+    ``2^nscales * mesh_x``; displacement contract within ``halo``). The
+    pyramid motion transport reproduces the reference's full-resolution
+    round trip, so it matches the registration driver at any depth.
     Signature: ``(iref, imov) -> (u [2,nx,ny], iterations [nscales+1])``.
     """
     niter = tuple(int(v) for v in niter)
@@ -832,16 +833,34 @@ def make_register_sp(
             imovs.append(_downsample2_local(imovs[-1], "x"))
 
         iters = []
-        u = jnp.zeros((2,) + irefs[nscales].shape, iref.dtype)
+        u_full = jnp.zeros((2,) + iref.shape, iref.dtype)
         for sc in range(nscales, -1, -1):
+            if sc == nscales and sc > 0:
+                # Coarsest level starts from zero (the reference skips the
+                # motion downsample at s == nscales).
+                u = jnp.zeros((2,) + irefs[sc].shape, iref.dtype)
+            elif 0 < sc < nscales:
+                # The reference's quirk: intermediate levels re-derive their
+                # motion by downsampling the running FULL-RES field (which
+                # was itself upsampled from the coarser solve) — reproduce
+                # the round trip exactly (ImageRegistration.cpp:137-151).
+                u = u_full
+                for _ in range(sc):
+                    u = _downsample2_local(u, "x") * 0.5
+            else:  # sc == 0
+                u = u_full
             u, it = _level_local(
                 family, u, irefs[sc], imovs[sc], niter[sc], halo, params,
                 convergence_tol,
             )
             iters.append(it)
             if sc > 0:
-                u = _upsample2_local(u, "x") * 2.0
-        return u, jnp.stack(iters)
+                for _ in range(sc):
+                    u = _upsample2_local(u, "x") * 2.0
+                u_full = u
+            else:
+                u_full = u
+        return u_full, jnp.stack(iters)
 
     return jax.jit(solve)
 

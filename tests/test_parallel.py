@@ -510,3 +510,25 @@ def test_register_sp_fuzz_vs_serial(seed):
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_register_sp_deep_pyramid_matches_register():
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_register_sp(mesh, "diffusion", niter=[5, 4, 6], nscales=2,
+                             halo=4, alpha=0.5)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(5, 4, 6), nscales=2,
+                    alpha=0.5, warp_halo=4, warp_halo_outer=4)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
