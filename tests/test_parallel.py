@@ -532,3 +532,28 @@ def test_register_sp_deep_pyramid_matches_register():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+@requires_8
+def test_register_sp_diffeo_deep_pyramid():
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.0, -0.6))
+
+    solve = make_register_sp(
+        mesh, "diffeo", niter=[4, 4, 5], nscales=2, halo=4,
+        sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0, sigma_fluid=2.0,
+        kernelwidth=5,
+    )
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.DIFFEOMORPHIC_DEMONS, niter=(4, 4, 5),
+                    nscales=2, warp_halo=4, warp_halo_outer=4)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
