@@ -28,8 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 
 
-def _gather_kernel(data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref, tile_sc,
-                   sem, *, halo: int, tb: int, nx: int, nc: int, compose: bool):
+def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
+                   tile_sc, sem, *, halo: int, tb: int, nx: int, nc: int,
+                   compose: bool):
     i = pl.program_id(0)
 
     # One aligned DMA: padded-data rows [i*tb, i*tb + tb + 2*PAD).
@@ -43,7 +44,9 @@ def _gather_kernel(data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref, tile_sc,
     rows = tb + 2 * _PAD
     ny = tile.shape[-1]
 
-    gi = lax.broadcasted_iota(jnp.int32, (tb, ny), 0) + i * tb
+    # row0: global row index of this array's first row (0 for whole-image
+    # warps; the strip origin when called on shard_map local strips).
+    gi = (lax.broadcasted_iota(jnp.int32, (tb, ny), 0) + i * tb + row0_ref[0])
     gj = lax.broadcasted_iota(jnp.int32, (tb, ny), 1)
 
     px = gi.astype(ux_ref.dtype) + ux_ref[:, :]
@@ -108,7 +111,10 @@ def _gather_kernel(data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref, tile_sc,
         out_ref[:, :, :] = jnp.where(ok, value / safe_w, orig_ref[:, :, :])
 
 
-def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool):
+def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
+                row0=None, nx_glob=None):
+    """``row0``/``nx_glob`` override the global row origin and global x
+    extent for strip-local calls (inside shard_map); default whole-image."""
     nc, nx, ny = data.shape
     if tb <= 0:
         # Keep cached lane rolls within ~1.2 MB of VMEM (the Mosaic scoped
@@ -128,30 +134,35 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool):
     nblocks = nx // tb
 
     data_pad = jnp.pad(data, ((0, 0), (_PAD, _PAD), (0, 0)))
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
+    else:
+        row0 = jnp.asarray(row0, jnp.int32).reshape(1)
+    nx_bound = nx if nx_glob is None else nx_glob
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded data, DMA'd manually
-            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
-            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
-            pl.BlockSpec((nc, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((tb, ny), lambda i, _s: (i, 0)),
+            pl.BlockSpec((tb, ny), lambda i, _s: (i, 0)),
+            pl.BlockSpec((nc, tb, ny), lambda i, _s: (0, i, 0)),
         ],
-        out_specs=pl.BlockSpec((nc, tb, ny), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((nc, tb, ny), lambda i, _s: (0, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((nc, tb + 2 * _PAD, ny), data.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
-        _gather_kernel, halo=halo, tb=tb, nx=nx, nc=nc, compose=compose
+        _gather_kernel, halo=halo, tb=tb, nx=nx_bound, nc=nc, compose=compose
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nc, nx, ny), data.dtype),
-    )(data_pad, ux, uy, orig)
+    )(row0, data_pad, ux, uy, orig)
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "tb"))
