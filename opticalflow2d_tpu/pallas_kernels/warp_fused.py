@@ -112,10 +112,30 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
 
 
 def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
-                row0=None, nx_glob=None):
+                row0=None, nx_glob=None, prepadded: bool = False):
     """``row0``/``nx_glob`` override the global row origin and global x
-    extent for strip-local calls (inside shard_map); default whole-image."""
-    nc, nx, ny = data.shape
+    extent for strip-local calls (inside shard_map); default whole-image.
+    ``prepadded``: ``data`` already carries ``_PAD`` extra rows on each side
+    (neighbour halos from a ppermute exchange) instead of the zero pad."""
+    if prepadded:
+        nc, nx, ny = data.shape
+        nx -= 2 * _PAD
+    else:
+        nc, nx, ny = data.shape
+
+    # Mosaic needs 8-aligned sublane DMA offsets, so tb must be a multiple
+    # of 8; when nx has no 8-aligned divisor, append junk rows up to the
+    # next multiple of 8 (below the bottom halo — tap masks never select
+    # them for real rows) and slice the output back. Without this, an odd
+    # tb (e.g. 15 for nx=120) stalls the Mosaic compiler for minutes.
+    nx_out = nx
+    extra = (-nx) % 8
+    if extra:
+        data = jnp.pad(data, ((0, 0), (0, extra), (0, 0)))
+        ux = jnp.pad(ux, ((0, extra), (0, 0)))
+        uy = jnp.pad(uy, ((0, extra), (0, 0)))
+        orig = jnp.pad(orig, ((0, 0), (0, extra), (0, 0)))
+        nx += extra
     if tb <= 0:
         # Keep cached lane rolls within ~1.2 MB of VMEM (the Mosaic scoped
         # stack also holds the select-chain intermediates; measured 2.5 MB
@@ -133,12 +153,12 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
         raise ValueError(f"halo {halo} too large for pad {_PAD}")
     nblocks = nx // tb
 
-    data_pad = jnp.pad(data, ((0, 0), (_PAD, _PAD), (0, 0)))
+    data_pad = data if prepadded else jnp.pad(data, ((0, 0), (_PAD, _PAD), (0, 0)))
     if row0 is None:
         row0 = jnp.zeros((1,), jnp.int32)
     else:
         row0 = jnp.asarray(row0, jnp.int32).reshape(1)
-    nx_bound = nx if nx_glob is None else nx_glob
+    nx_bound = nx_out if nx_glob is None else nx_glob  # real extent, not pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -158,11 +178,12 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     kernel = functools.partial(
         _gather_kernel, halo=halo, tb=tb, nx=nx_bound, nc=nc, compose=compose
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nc, nx, ny), data.dtype),
     )(row0, data_pad, ux, uy, orig)
+    return out[:, :nx_out] if extra else out
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "tb"))
@@ -178,3 +199,27 @@ def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0):
     """Bounded-displacement motion composition (``ops.warp.compose``
     semantics), Pallas-fused. Both fields ``[2, nx, ny]``."""
     return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True)
+
+
+def warp2d_pallas_strip(image_pad, u, row0, nx_glob: int,
+                        halo: int = 2, tb: int = 0):
+    """Strip-local warp for shard_map x-strips. ``image_pad
+    [nxl + 2*_PAD, ny]`` carries ``_PAD`` rows of neighbour halo on each
+    side (ppermute-exchanged; zeros at the global boundary, matching the
+    whole-image zero pad); ``u [2, nxl, ny]`` is the local displacement
+    block; ``row0`` (traced scalar ok — scalar-prefetched) is the strip's
+    global first-row index and ``nx_glob`` the static global x extent.
+    Same semantics/contract as ``warp2d_pallas`` restricted to the strip."""
+    orig = image_pad[None, _PAD:-_PAD]
+    out = _run_gather(image_pad[None], u[0], u[1], orig, halo, tb, False,
+                      row0=row0, nx_glob=nx_glob, prepadded=True)
+    return out[0]
+
+
+def compose_pallas_strip(u_total_pad, u_inc, row0, nx_glob: int,
+                         halo: int = 2, tb: int = 0):
+    """Strip-local composition: ``u_total_pad [2, nxl + 2*_PAD, ny]`` with
+    neighbour halos in the pad rows, ``u_inc [2, nxl, ny]`` local."""
+    orig = u_total_pad[:, _PAD:-_PAD]
+    return _run_gather(u_total_pad, u_inc[0], u_inc[1], orig, halo, tb, True,
+                       row0=row0, nx_glob=nx_glob, prepadded=True)

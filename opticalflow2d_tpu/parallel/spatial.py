@@ -319,6 +319,34 @@ def _compose_local(u_tot_loc, u_inc_loc, halo: int, axis_name: str):
     return jnp.where(in_b, inc_plus, u_tot_loc)
 
 
+def _warp_local_pallas(img_loc, u_loc, halo: int, axis_name: str, tb: int = 0):
+    """Pallas-fused variant of ``_warp_local``: exchange ``_PAD`` neighbour
+    rows once, then run the VMEM-resident masked-roll gather on the local
+    strip (kernel reads global coordinates via the scalar-prefetched strip
+    origin). Same contract: in-bounds floor offsets within ``halo``."""
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD, warp2d_pallas_strip
+
+    nxl = img_loc.shape[-2]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    top, bot = _halo_exchange_k(img_loc, _PAD, axis_name)
+    img_pad = jnp.concatenate([top, img_loc, bot], axis=-2)
+    return warp2d_pallas_strip(img_pad, u_loc, idx * nxl, n * nxl, halo, tb)
+
+
+def _compose_local_pallas(u_tot_loc, u_inc_loc, halo: int, axis_name: str,
+                          tb: int = 0):
+    """Pallas-fused variant of ``_compose_local`` (see above)."""
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD, compose_pallas_strip
+
+    nxl = u_tot_loc.shape[-2]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    top, bot = _halo_exchange_k(u_tot_loc, _PAD, axis_name)
+    ut_pad = jnp.concatenate([top, u_tot_loc, bot], axis=-2)
+    return compose_pallas_strip(ut_pad, u_inc_loc, idx * nxl, n * nxl, halo, tb)
+
+
 def _gradient_local(img_loc, axis_name: str):
     """Central-difference gradient with 1-row halo exchange; one-sided at
     the global borders (matches ops.grid.spatial_gradient)."""
@@ -350,6 +378,7 @@ def make_demons_step_sharded(
     kernelwidth: int,
     halo: int = 2,
     diffeomorphic: bool = False,
+    use_pallas: bool = False,
 ):
     """One Thirion/diffeomorphic demons iteration with every op expressed as
     explicit shard_map collectives: halo-exchanged warp, gradient, Gaussian
@@ -360,7 +389,12 @@ def make_demons_step_sharded(
     Signature: ``(u [2,nx,ny], iref [nx,ny], imov [nx,ny]) -> u`` with u
     sharded ``P(None,'x',None)`` and images ``P('x',None)``. Displacement
     contract: all warp/compose offsets within ``halo``.
+
+    ``use_pallas=True`` routes warp/compose (including the exp-map
+    squarings) through the fused strip-local Pallas kernels.
     """
+    _wl = _warp_local_pallas if use_pallas else _warp_local
+    _cl = _compose_local_pallas if use_pallas else _compose_local
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -369,7 +403,7 @@ def make_demons_step_sharded(
         check_vma=False,
     )
     def step(u, iref, imov):
-        iwar = _warp_local(imov, u, halo, "x")
+        iwar = _wl(imov, u, halo, "x")
         grad = _gradient_local(iwar, "x")
         it = iwar - iref
         den = grad[0] ** 2 + grad[1] ** 2 + it**2 * (sigma_i**2) / (sigma_x**2)
@@ -392,7 +426,8 @@ def make_demons_step_sharded(
     return jax.jit(step)
 
 
-def make_warp2d_sharded(mesh: Mesh, halo: int):
+def make_warp2d_sharded(mesh: Mesh, halo: int, use_pallas: bool = False,
+                        tb: int = 0):
     """Blockwise backward warp with bounded-displacement halo exchange
     (SURVEY.md §5: the SP-equivalent of the reference's warp window logic,
     ``Image.cpp:144-151``). Each x-strip exchanges ``halo+1`` rows with its
@@ -403,6 +438,10 @@ def make_warp2d_sharded(mesh: Mesh, halo: int):
 
     Signature: ``(image [nx, ny], u [2, nx, ny]) -> warped [nx, ny]`` with
     image sharded ``P('x', None)`` and u ``P(None, 'x', None)``.
+
+    ``use_pallas=True`` swaps the per-strip gather for the Pallas fused
+    kernel (``pallas_kernels.warp_fused``): one ppermute halo exchange,
+    then the select chain runs entirely in VMEM on each strip.
     """
 
     @functools.partial(
@@ -412,6 +451,8 @@ def make_warp2d_sharded(mesh: Mesh, halo: int):
         check_vma=False,
     )
     def warp(img_loc, u_loc):
+        if use_pallas:
+            return _warp_local_pallas(img_loc, u_loc, halo, "x", tb)
         return _warp_local(img_loc, u_loc, halo, "x")
 
     return jax.jit(warp)

@@ -103,3 +103,111 @@ def test_register_demons_with_pallas_warp_matches():
     np.testing.assert_allclose(
         np.asarray(got.motion), np.asarray(want.motion), rtol=1e-5, atol=1e-6
     )
+
+
+def test_warp_pallas_strip_sharded_matches_serial(rng):
+    """Strip-local Pallas warp under shard_map (8-device CPU mesh,
+    interpret mode) vs the serial whole-image warp."""
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_warp2d_sharded
+
+    nx, ny = 128, 48  # nxl = 16 per device
+    iref, imov = make_pair(nx, ny, shift=(1.2, -0.7))
+    img = jnp.asarray(imov)
+    u = jnp.asarray(
+        np.clip(1.5 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = warp2d(img, u, halo=2)
+    mesh = make_mesh(data=1, x=8)
+    with pltpu.force_tpu_interpret_mode():
+        warp_p = make_warp2d_sharded(mesh, halo=2, use_pallas=True)
+        got = warp_p(img, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_compose_pallas_strip_sharded_matches_serial(rng):
+    """Strip-local Pallas compose under shard_map vs serial compose."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from opticalflow2d_tpu.ops.warp import compose
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import _compose_local_pallas
+
+    nx, ny = 128, 48
+    u_total = jnp.asarray(
+        np.clip(2.0 * rng.standard_normal((2, nx, ny)), -4, 4).astype(np.float32)
+    )
+    u_inc = jnp.asarray(
+        np.clip(1.0 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = compose(u_total, u_inc, halo=2)
+    mesh = make_mesh(data=1, x=8)
+    spec = P(None, "x", None)
+    f = shard_map(
+        lambda a, b: _compose_local_pallas(a, b, 2, "x"),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(f)(u_total, u_inc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_demons_step_sharded_pallas_matches(rng):
+    """Explicit-SP demons step with use_pallas (strip-local fused kernels,
+    incl. exp-map squarings) vs the jnp strip path, 8-device CPU mesh."""
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_demons_step_sharded
+
+    nx, ny = 128, 48
+    iref, imov = make_pair(nx, ny, shift=(1.3, -0.9))
+    iref, imov = jnp.asarray(iref), jnp.asarray(imov)
+    u0 = jnp.asarray(
+        np.clip(0.8 * rng.standard_normal((2, nx, ny)), -1.5, 1.5).astype(np.float32)
+    )
+    mesh = make_mesh(data=1, x=8)
+    kw = dict(sigma_i=1.0, sigma_x=1.0, sigma_diffusion=1.0, sigma_fluid=1.0,
+              kernelwidth=5, halo=2, diffeomorphic=True)
+    want = make_demons_step_sharded(mesh, **kw)(u0, iref, imov)
+    with pltpu.force_tpu_interpret_mode():
+        got = make_demons_step_sharded(mesh, use_pallas=True, **kw)(u0, iref, imov)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("nx", [60, 120])
+def test_warp_pallas_ragged_rows(nx, rng):
+    """Row counts with no 8-aligned divisor go through the pad-to-8 path
+    (unaligned tile heights stall the Mosaic compiler)."""
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import warp2d_pallas
+
+    ny = 48
+    img = jnp.asarray(rng.standard_normal((nx, ny)).astype(np.float32))
+    u = jnp.asarray(
+        np.clip(1.5 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = warp2d(img, u, halo=2)
+    with pltpu.force_tpu_interpret_mode():
+        got = warp2d_pallas(img, u, halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_warp_pallas_strip_sharded_ragged(rng):
+    """Sharded strips of 15 rows (no 8-aligned divisor) stay exact."""
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_warp2d_sharded
+
+    nx, ny = 120, 48  # nxl = 15 per device
+    iref, imov = make_pair(nx, ny, shift=(1.2, -0.7))
+    img = jnp.asarray(imov)
+    u = jnp.asarray(
+        np.clip(1.5 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32)
+    )
+    want = warp2d(img, u, halo=2)
+    mesh = make_mesh(data=1, x=8)
+    with pltpu.force_tpu_interpret_mode():
+        got = make_warp2d_sharded(mesh, halo=2, use_pallas=True)(img, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
