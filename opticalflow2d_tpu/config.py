@@ -116,10 +116,13 @@ class RegConfig:
     # relaxation sweep per iteration) or "spectral" (exact FFT solve of the
     # same system per iteration, periodic BCs — the north-star upgrade).
     navier_lame_solver: str = "sor"
-    # Curvature DCT implementation: "auto"/"matmul" (MXU dense transform at
-    # HIGHEST precision — measured fastest-accurate on TPU), "matmul_high"
-    # (3-pass, 1.6x faster @ 3.8e-5 rel err), "matmul_fast" (1-pass, 3.9x @
-    # 6e-3), or "fft" (Makhoul; slower on TPU where complex FFT is emulated).
+    # Curvature DCT implementation: "auto" resolves to "matmul_high"
+    # (3-pass MXU, 1.6x faster than HIGHEST @ 3.8e-5 rel err — the
+    # production setting) unless a bug-compat flag is on, in which case it
+    # resolves to "matmul" (6-pass f32 HIGHEST — bit-closest, for oracle
+    # parity). Explicit values: "matmul", "matmul_high", "matmul_fast"
+    # (1-pass, 3.9x @ 6e-3), "fft" (Makhoul; slower on TPU where complex
+    # FFT is emulated).
     dct_impl: str = "auto"
     # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
     # masked circular shifts when every in-bounds sample's floor offset is
@@ -140,6 +143,11 @@ class RegConfig:
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.
     use_pallas: bool = False
+    # Stream per-iteration relative errors to the host console as they
+    # happen (the reference Logger's verbose mode, src/Logger.cpp:62-79),
+    # via jax.debug.callback. Costs a host sync per iteration — leave off
+    # for production/batched runs; OpticalFlow2d(verbose=True) turns it on.
+    verbose_stream: bool = False
 
     def __post_init__(self):
         if len(self.niter) < self.nscales + 1:
@@ -157,6 +165,17 @@ class RegConfig:
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def resolved_dct_impl(self) -> str:
+        """Resolve ``dct_impl="auto"``: bug-compat (parity) configs get the
+        bit-closest HIGHEST-precision transform; production gets the
+        measured-fastest-accurate 3-pass variant."""
+        if self.dct_impl != "auto":
+            return self.dct_impl
+        if self.compat.maxabs_bug or self.compat.conv_flatwrap:
+            return "matmul"
+        return "matmul_high"
 
     @staticmethod
     def from_regparams(

@@ -68,6 +68,19 @@ def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(prev_norm == 0, 0.0, diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
 
 
+def _print_iter(scale, it, err):
+    print(f"  [scale {int(scale)}] iteration {int(it) + 1}: "
+          f"relative error {float(err):.6f}", flush=True)
+
+
+def _stream_iter(cfg: RegConfig, scale: int, it, err):
+    """Live per-iteration trace, the reference Logger's verbose print
+    (``src/Logger.cpp:62-79``). Emitted from inside the while_loop via
+    ``jax.debug.callback`` (ordered is unnecessary: the loop is sequential)."""
+    if cfg.verbose_stream:
+        jax.debug.callback(_print_iter, jnp.int32(scale), it, err)
+
+
 def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     """Diffusion / Curvature / Elastic: derivatives once per refinement,
     update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
@@ -88,7 +101,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
     elif cfg.method == Method.CURVATURE:
         step = (lambda s: (lambda u_est, d: s(u_est, d)))(
             make_curvature_step(
-                nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype, cfg.dct_impl
+                nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype, cfg.resolved_dct_impl
             )
         )
     elif cfg.method == Method.ELASTIC:
@@ -124,6 +137,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             u_est, prev, it, conv, errs = carry
             u_new = step(u_est, d)
             err = _rel_step_error(u_new, prev)
+            _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
             return (u_new, u_new, it + 1, conv, errs)
@@ -179,6 +193,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             # the regrid block, ImageRegistrationFluid.cpp:99-124), so it is
             # carried separately from u_est.
             err = _rel_step_error(u_new, prev)
+            _stream_iter(cfg, scale, it, err)
             prev = u_new
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
@@ -243,6 +258,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             u_est, prev, it, conv, errs = carry
             u_new = step(u_est, iref, iaux)
             err = _rel_step_error(u_new, prev)
+            _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
             return (u_new, u_new, it + 1, conv, errs)
@@ -265,7 +281,8 @@ def _solve_level(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
 
 def _register_impl(
-    iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig, initial_motion=None
+    iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig, initial_motion=None,
+    start_scale=None, stop_scale=0,
 ):
     dtype = cfg.jnp_dtype
     iref = iref.astype(dtype)
@@ -299,8 +316,10 @@ def _register_impl(
         u_full = jnp.asarray(initial_motion, dtype)
     else:
         u_full = jnp.zeros((2,) + dims[0], dtype)
+    if start_scale is None:
+        start_scale = cfg.nscales
     traces = []
-    for s in range(cfg.nscales, -1, -1):
+    for s in range(start_scale, stop_scale - 1, -1):
         if s == cfg.nscales and s > 0:
             if initial_motion is not None:
                 u_s = downsample_motion(u_full, dims[s])
@@ -327,14 +346,25 @@ def _register_impl(
     return RegistrationResult(motion=u_full, traces=tuple(traces))
 
 
-@functools.lru_cache(maxsize=32)
-def _jitted_register(cfg: RegConfig, warm: bool):
+@functools.lru_cache(maxsize=64)
+def _jitted_register(cfg: RegConfig, warm: bool, start_scale, stop_scale):
     if warm:
-        return jax.jit(lambda iref, imov, u0: _register_impl(iref, imov, cfg, u0))
-    return jax.jit(lambda iref, imov: _register_impl(iref, imov, cfg))
+        return jax.jit(
+            lambda iref, imov, u0: _register_impl(
+                iref, imov, cfg, u0, start_scale, stop_scale
+            )
+        )
+    return jax.jit(
+        lambda iref, imov: _register_impl(
+            iref, imov, cfg, None, start_scale, stop_scale
+        )
+    )
 
 
-def register(iref, imov, cfg: RegConfig, initial_motion=None) -> RegistrationResult:
+def register(
+    iref, imov, cfg: RegConfig, initial_motion=None,
+    start_scale=None, stop_scale=0,
+) -> RegistrationResult:
     """Estimate the motion field u with T(x + u) ~= R(x).
 
     Args:
@@ -345,6 +375,14 @@ def register(iref, imov, cfg: RegConfig, initial_motion=None) -> RegistrationRes
       initial_motion: optional ``[2, nx, ny]`` warm-start field (checkpoint
         resume, sequential frames); equivalent to the reference's persistent
         motion state across repeated register calls.
+      start_scale / stop_scale: run only pyramid scales
+        ``start_scale .. stop_scale`` (inclusive, coarse -> fine; defaults
+        cover the whole pyramid). With ``start_scale < cfg.nscales`` pass the
+        full-resolution motion of the completed coarser levels as
+        ``initial_motion`` — this is the checkpoint-resume path
+        (``utils.checkpoint.register_resumable``); splitting a pyramid at
+        level boundaries matches the monolithic run to float associativity
+        (XLA fuses across monolithic level boundaries; ~1 ulp).
 
     Returns:
       ``RegistrationResult(motion=[2, nx, ny], traces=...)``.
@@ -355,6 +393,10 @@ def register(iref, imov, cfg: RegConfig, initial_motion=None) -> RegistrationRes
         raise ValueError(
             f"iref/imov must be matching 2D images, got {iref.shape} vs {imov.shape}"
         )
+    if start_scale is not None and not 0 <= start_scale <= cfg.nscales:
+        raise ValueError(f"start_scale {start_scale} outside 0..{cfg.nscales}")
+    if not 0 <= stop_scale <= (cfg.nscales if start_scale is None else start_scale):
+        raise ValueError(f"stop_scale {stop_scale} outside the pyramid range")
     if initial_motion is not None:
         u0 = jnp.asarray(initial_motion)
         if u0.shape != (2,) + iref.shape:
@@ -362,5 +404,5 @@ def register(iref, imov, cfg: RegConfig, initial_motion=None) -> RegistrationRes
                 f"initial_motion must be [2, {iref.shape[0]}, {iref.shape[1]}], "
                 f"got {u0.shape}"
             )
-        return _jitted_register(cfg, True)(iref, imov, u0)
-    return _jitted_register(cfg, False)(iref, imov)
+        return _jitted_register(cfg, True, start_scale, stop_scale)(iref, imov, u0)
+    return _jitted_register(cfg, False, start_scale, stop_scale)(iref, imov)

@@ -45,6 +45,9 @@ class OpticalFlow2d:
         **config_overrides,
     ):
         self.dims = (int(dims[0]), int(dims[1]))
+        # verbose turns on the live per-iteration trace (the reference
+        # Logger's verbose mode) unless explicitly overridden.
+        config_overrides.setdefault("verbose_stream", bool(verbose))
         self.config = RegConfig.from_regparams(
             regularisation, niter, nscales, regparams, nrefine, **config_overrides
         )
@@ -66,8 +69,27 @@ class OpticalFlow2d:
             f"nscales:         {c.nscales}",
             f"nrefine:         {c.nrefine}",
             f"regularisation:  {c.method.name}",
-            "=" * 72,
         ]
+        # Regularisation parameters, per method — the second half of the
+        # reference banner (ImageRegistration.cpp:6-47).
+        if c.method == Method.DIFFUSION:
+            lines.append(f"alpha:           {c.alpha}")
+        elif c.method == Method.CURVATURE:
+            lines.append(f"alpha:           {c.alpha}")
+            lines.append(f"tau:             {c.tau}")
+        elif c.method in (Method.ELASTIC, Method.FLUID):
+            lines.append(f"mu:              {c.mu}")
+            lines.append(f"lambda:          {c.lam}")
+            lines.append(f"omega (SOR):     {c.omega}")
+        else:  # demons families
+            lines.append(f"sigma_i:         {c.sigma_i}")
+            lines.append(f"sigma_x:         {c.sigma_x}")
+            lines.append(f"sigma_diffusion: {c.sigma_diffusion}")
+            lines.append(f"sigma_fluid:     {c.sigma_fluid}")
+            lines.append(f"kernelwidth:     {c.kernelwidth}")
+            if c.method == Method.THIRIONS_DEMONS:
+                lines.append(f"accumulation:    {c.accumulation.name}")
+        lines.append("=" * 72)
         return "\n".join(lines)
 
     def register(self, iref, imov) -> RegistrationResult:

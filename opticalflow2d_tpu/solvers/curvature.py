@@ -34,10 +34,12 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     plans).
 
     ``dct_impl``:
-    - "matmul" (= "auto"): MXU dense transform at HIGHEST precision (6-pass
-      f32) — bit-closest; the parity default;
-    - "matmul_high": 3-pass MXU precision — 1.6x faster at 3.75e-5 relative
-      error (measured on v5e @1024^2); the recommended production setting;
+    - "matmul_high" (= "auto"): 3-pass MXU precision — the production
+      default: 1.6x faster than HIGHEST at 3.75e-5 relative error
+      (measured on v5e @1024^2);
+    - "matmul": MXU dense transform at HIGHEST precision (6-pass f32) —
+      bit-closest; the parity/compat setting (``RegConfig.resolved_dct_impl``
+      selects it automatically when bug-compat flags are on);
     - "matmul_fast": single-pass (bf16-input) MXU matmuls, ~6e-3 relative
       error, for throughput-first runs (3.9x);
     - "fft": O(N log N) Makhoul factorization — on v5e the complex FFT is
@@ -46,7 +48,7 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
-        dct_impl = "matmul"
+        dct_impl = "matmul_high"
     if dct_impl == "fft":
         fwd, inv = dct2_fft, idct2_fft
     elif dct_impl in ("matmul_fast", "matmul_high"):

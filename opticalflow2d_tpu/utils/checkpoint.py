@@ -3,12 +3,15 @@
 The reference has no persistence — its MEX singleton holds state only
 between calls (``WrapperOpticalFlow2d.cpp:13-16``). Here, the natural resume
 points are pyramid-level boundaries (SURVEY.md §5): a checkpoint is the
-full-resolution motion field plus the config fingerprint, written with
-``orbax`` when available and ``np.savez`` otherwise.
+full-resolution motion field plus the config fingerprint and the last
+completed pyramid scale, written as an atomically-renamed ``np.savez``
+archive (deliberately dependency-free; the payload is one small array).
 
-Resume by passing the loaded motion as the initial field of a fresh
-``register_from`` run (e.g. skip already-completed coarse levels by
-configuring ``nscales`` accordingly), or warm-start any refinement.
+``register_resumable`` is the high-level path: it runs the pyramid one
+level per jit call, checkpoints after each, and on restart resumes from the
+first incomplete level — bit-identical to an uninterrupted ``register``.
+``load_checkpoint`` + ``register(initial_motion=..., start_scale=...)`` is
+the manual equivalent.
 """
 
 from __future__ import annotations
@@ -53,3 +56,50 @@ def load_checkpoint(path: str, cfg=None) -> Tuple[np.ndarray, int]:
             "checkpoint was written under a different RegConfig; refusing to resume"
         )
     return motion, level
+
+
+def register_resumable(iref, imov, cfg, path: str, _crash_after_scale=None):
+    """Registration with per-pyramid-level checkpointing and resume.
+
+    Runs scales coarse -> fine one jit call each; after each completed scale
+    the full-resolution motion is checkpointed to ``path`` (atomic rename).
+    If ``path`` already holds a checkpoint for this ``cfg``, completed levels
+    are skipped and the run continues from the first incomplete one.
+    Level-split execution matches a monolithic ``register`` to float
+    associativity (the split points are the driver's own down/upsample
+    points, but XLA fuses the upsample->downsample pair across a monolithic
+    level boundary with different rounding — measured maxdiff ~6e-8).
+
+    ``_crash_after_scale`` (tests only): return ``None`` right after
+    checkpointing that scale, simulating a mid-run kill.
+
+    Returns a ``RegistrationResult``; ``traces`` covers only the levels run
+    in THIS process (completed levels' traces are not persisted — the motion
+    field is the resume contract, matching the reference's stateless Logger).
+    """
+    from opticalflow2d_tpu.engine.registration import register, RegistrationResult
+
+    import jax.numpy as jnp
+
+    start = cfg.nscales
+    u0 = None
+    if os.path.exists(path):
+        motion, last_done = load_checkpoint(path, cfg)
+        if last_done == 0:
+            return RegistrationResult(motion=jnp.asarray(motion), traces=())
+        u0 = motion
+        if last_done > 0:
+            start = last_done - 1
+        # last_done < 0 (level-less checkpoint): warm-start the full pyramid.
+
+    traces = []
+    for s in range(start, -1, -1):
+        res = register(
+            iref, imov, cfg, initial_motion=u0, start_scale=s, stop_scale=s
+        )
+        u0 = np.asarray(res.motion)
+        traces.extend(res.traces)
+        save_checkpoint(path, u0, cfg, level=s)
+        if _crash_after_scale is not None and s == _crash_after_scale:
+            return None
+    return RegistrationResult(motion=jnp.asarray(u0), traces=tuple(traces))

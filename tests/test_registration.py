@@ -231,4 +231,35 @@ def test_session_verbose_output(capsys):
     # The parameter banner and per-scale convergence summaries
     # (the Logger/display_registration_parameters analogues).
     assert "regularisation:  DIFFUSION" in out
+    # Regularisation parameters in the banner
+    # (ImageRegistration.cpp:6-47 analogue).
+    assert "alpha:           0.5" in out
     assert "scale 1:" in out and "scale 0:" in out
+    # Live per-iteration stream (Logger.cpp:62-79 analogue): verbose turns
+    # on jax.debug.callback streaming inside the while_loop.
+    assert "[scale 1] iteration 1:" in out
+    assert "[scale 0] iteration 1:" in out
+
+
+def test_session_verbose_stream_opt_out(capsys):
+    iref, imov = make_pair(32, 28, shift=(1.0, 0.5))
+    sess = OpticalFlow2d(
+        (32, 28), niter=[5], nscales=0, regularisation=Method.DIFFUSION,
+        regparams=[0.5], verbose=True, verbose_stream=False,
+    )
+    assert sess.config.verbose_stream is False
+    sess.register(iref, imov)
+    out = capsys.readouterr().out
+    assert "iteration 1:" not in out  # summary only, no live stream
+    assert "scale 0:" in out
+
+
+def test_demons_banner_params(capsys):
+    OpticalFlow2d(
+        (32, 28), [5], 0, Method.THIRIONS_DEMONS,
+        [1.0, 0.25, 2.0, 2.0, 5.0, 0.0], verbose=True,
+    )
+    out = capsys.readouterr().out
+    assert "sigma_i:         1.0" in out
+    assert "kernelwidth:     5" in out
+    assert "accumulation:    COMPOSITION" in out

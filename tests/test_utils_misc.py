@@ -65,6 +65,58 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         load_checkpoint(path, other)
 
 
+def test_register_resumable_crash_resume_bitwise(tmp_path, rng):
+    """Kill-after-level-N resume must equal the uninterrupted run (to float
+    associativity: XLA fuses the upsample->downsample pair across a
+    monolithic level boundary with different rounding, ~1 ulp)."""
+    from opticalflow2d_tpu.engine.registration import register
+    from opticalflow2d_tpu.utils.checkpoint import register_resumable
+
+    iref = rng.random((32, 28)).astype(np.float32)
+    imov = rng.random((32, 28)).astype(np.float32)
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(6, 5, 4), nscales=2,
+                    alpha=0.5, warp_halo=0, warp_halo_outer=0)
+    path = os.path.join(tmp_path, "resume.npz")
+
+    # Simulated crash right after the middle scale (scale 1) checkpointed.
+    assert register_resumable(iref, imov, cfg, path, _crash_after_scale=1) is None
+    _, level = load_checkpoint(path, cfg)
+    assert level == 1
+
+    resumed = register_resumable(iref, imov, cfg, path)
+    # Only the remaining level ran in this process.
+    assert len(resumed.traces) == 1 and int(resumed.traces[0].scale) == 0
+
+    straight = register(iref, imov, cfg)
+    np.testing.assert_allclose(
+        np.asarray(resumed.motion), np.asarray(straight.motion),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # A third call is a no-op returning the stored field exactly.
+    again = register_resumable(iref, imov, cfg, path)
+    assert again.traces == ()
+    np.testing.assert_array_equal(
+        np.asarray(again.motion), np.asarray(resumed.motion)
+    )
+
+
+def test_register_start_stop_scale_splits_bitwise(rng):
+    """register(start_scale=s, stop_scale=s) chained over levels equals the
+    monolithic pyramid."""
+    from opticalflow2d_tpu.engine.registration import register
+
+    iref = rng.random((24, 24)).astype(np.float32)
+    imov = rng.random((24, 24)).astype(np.float32)
+    cfg = RegConfig(method=Method.THIRIONS_DEMONS, niter=(4, 3), nscales=1,
+                    warp_halo=0, warp_halo_outer=0)
+    r1 = register(iref, imov, cfg, start_scale=1, stop_scale=1)
+    r0 = register(iref, imov, cfg, initial_motion=r1.motion,
+                  start_scale=0, stop_scale=0)
+    full = register(iref, imov, cfg)
+    np.testing.assert_array_equal(np.asarray(r0.motion), np.asarray(full.motion))
+
+
 def test_assert_finite_raises():
     with pytest.raises(FloatingPointError):
         assert_finite(jnp.array([1.0, np.nan]), "x")
