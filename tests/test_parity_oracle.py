@@ -255,3 +255,46 @@ def test_demons_flat_region_fixed_vs_oracle_crash():
     res = register(iref, imov, cfg)
     assert np.isfinite(np.asarray(res.motion)).all()
     np.testing.assert_allclose(np.asarray(res.motion), 0.0, atol=1e-7)
+
+
+# --- Demo-scale parity: the canonical test_opticalflow2d.m workload -------
+
+@pytest.mark.slow
+def test_demo_scale_fluid_parity():
+    """The exact demo pipeline (/root/reference/test_opticalflow2d.m:14-38)
+    at realistic size: min-max normalize a 256x256 image, replicate-pad 11
+    rows on each x edge (-> 278x256), fluid with niter=[25 25], nscales=1,
+    nrefine=1, regparams [0.25, 0.0]. DIR-Lab frames aren't shipped in the
+    reference repo either, so the image content is the synthetic deformable
+    pair; the pipeline (normalize/pad/config) is the demo's."""
+    rng = np.random.default_rng(5)
+    base_ref, base_mov = make_pair(256, 256, shift=(2.5, -1.5))
+    # Add texture so min-max normalization and the fluid forces see
+    # realistic dynamic range (pure Gaussians are too smooth at 256^2).
+    noise = rng.standard_normal((256, 256)).astype(np.float32) * 0.02
+    base_ref = base_ref + noise
+    base_mov = base_mov + noise
+
+    def normalize(a):
+        return (a - a.min()) / (a.max() - a.min())
+
+    def pad11(a):
+        return np.pad(a, ((11, 11), (0, 0)), mode="edge")
+
+    iref = pad11(normalize(base_ref)).astype(np.float32)
+    imov = pad11(normalize(base_mov)).astype(np.float32)
+    assert iref.shape == (278, 256)
+
+    u_ref, war_ref = run_oracle(
+        iref, imov, 1, 1, int(Method.FLUID), [0.25, 0.0], [25, 25],
+        timeout=1800.0,
+    )
+    cfg = RegConfig.from_regparams(
+        Method.FLUID, [25, 25], 1, [0.25, 0.0], 1,
+        compat=COMPAT, sor_ordering="lexicographic",
+        warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    u = np.asarray(res.motion, np.float64)
+    assert endpoint_error(u, u_ref) < 1e-4
+    assert np.abs(u - u_ref).max() < 1e-2
