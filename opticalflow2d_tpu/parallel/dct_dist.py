@@ -23,7 +23,8 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from opticalflow2d_tpu.ops.dct import _dct2_matrix, _dct3_matrix, curvature_eigenvalues
+from opticalflow2d_tpu.ops.dct import _dct2_matrix, _dct3_matrix
+from opticalflow2d_tpu.parallel.spatial import _curvature_solve_strip
 from opticalflow2d_tpu.solvers.base import Derivatives, lssd_force
 
 
@@ -32,24 +33,20 @@ def _mm(a, b):
 
 
 def make_curvature_step_sharded(
-    mesh: Mesh, nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32
+    mesh: Mesh, nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32,
+    precision=lax.Precision.HIGHEST,
 ):
     """Build the curvature update for ``u [2, nx, ny]`` sharded as
     ``P(None, 'x', None)``. Numerically equivalent to the serial
-    ``make_curvature_step`` (same transform matrices, same normalization)."""
+    ``make_curvature_step`` (same transform matrices, same normalization);
+    the DCT body is ``parallel.spatial._curvature_solve_strip``.
+    ``precision``: HIGHEST (parity default) or HIGH (the production 3-pass
+    MXU variant, matching the serial ``dct_impl="matmul_high"``)."""
     n_x = mesh.shape["x"]
     if nx % n_x != 0 or ny % n_x != 0:
         raise ValueError(
             f"nx ({nx}) and ny ({ny}) must be divisible by the x-axis size {n_x}"
         )
-    nyl = ny // n_x
-
-    c2x = jnp.asarray(_dct2_matrix(nx), dtype)
-    c3x = jnp.asarray(_dct3_matrix(nx), dtype)
-    c2y = jnp.asarray(_dct2_matrix(ny), dtype)
-    c3y = jnp.asarray(_dct3_matrix(ny), dtype)
-    eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
-    scale = 1.0 / (4.0 * nx * ny)
 
     spec_u = P(None, "x", None)
     spec_im = P("x", None)
@@ -65,22 +62,7 @@ def make_curvature_step_sharded(
         d = Derivatives(grad_loc, it_loc)
         f = lssd_force(d, u_loc)
         rhs = u_loc - tau * f  # [2, nxl, ny]
-
-        # Forward DCT along y (local).
-        t = _mm(rhs, c2y.T)
-        # Transpose: [2, nxl, ny] -> [2, nx, nyl] over ICI.
-        t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
-        # Forward DCT along x (now local) + eigenvalue multiply in the
-        # transposed layout.
-        idx = lax.axis_index("x")
-        eig_slice = lax.dynamic_slice(eig, (0, idx * nyl), (nx, nyl))
-        t = jnp.einsum("kx,cxy->cky", c2x, t,
-                       precision=lax.Precision.HIGHEST) * eig_slice[None]
-        # Inverse DCT along x, transpose back, inverse along y.
-        t = jnp.einsum("kx,cxy->cky", c3x, t, precision=lax.Precision.HIGHEST)
-        t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
-        t = _mm(t, c3y.T)
-        return t * scale
+        return _curvature_solve_strip(rhs, nx, ny, alpha, tau, "x", precision)
 
     return step
 

@@ -10,10 +10,14 @@ Two complementary paths:
    "annotate shardings, let XLA insert collectives" recipe. Numerically
    identical to the single-device trace.
 
-2. ``diffusion_sweeps_sharded``: an explicit ``shard_map`` + ``ppermute``
-   halo-exchange implementation of the Horn-Schunck inner loop (the #1 hot
-   stencil, SURVEY.md §3.4) — the hand-scheduled variant used to validate
-   and benchmark against path 1, and the template for Pallas ring kernels.
+2. Explicit ``shard_map`` drivers: hand-scheduled strip-local pipelines
+   with ppermute halo exchange, used to validate and benchmark against
+   path 1 and as the template for Pallas ring kernels. Every family's
+   per-iteration body lives in exactly ONE strip-local function
+   (``_demons_iter_strip``, ``_sor_sweep_strip``, ``_diffusion_step``,
+   ``_curvature_solve_strip``, ``_fluid_level_strip``); the public
+   ``make_*_sharded`` / ``make_register_sp`` factories are thin shard_map
+   wrappers around them.
 """
 
 from __future__ import annotations
@@ -55,31 +59,20 @@ def register_sharded(iref, imov, cfg: RegConfig, mesh: Mesh) -> RegistrationResu
 
 
 # ---------------------------------------------------------------------------
-# Path 2: explicit halo exchange with shard_map + ppermute
+# Path 2 building blocks: strip-local ops with explicit halo exchange.
+# Everything below runs INSIDE shard_map on ``[..., nxl, ny]`` local strips
+# of the mesh's "x" axis. ``lax.psum(1, axis)`` of a Python int is
+# constant-folded to the static axis size, so global extents stay static.
 # ---------------------------------------------------------------------------
 
-def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Quasi-laplacian (4-neighbour average, zero at global borders) on a
-    local x-strip with halo exchange. ``f`` is ``[..., nxl, ny]``."""
-    nxl, ny = f.shape[-2], f.shape[-1]
+def _strip_info(shape_local, axis_name: str):
+    """(gi, gj, nx_glob): global row/col index grids for a local strip."""
+    nxl, ny = shape_local
     idx = lax.axis_index(axis_name)
     n = lax.psum(1, axis_name)
-
-    top, bot = _halo_exchange_k(f, 1, axis_name)
-    fp = jnp.concatenate([top, f, bot], axis=-2)  # [..., nxl+2, ny]
-
-    x_sum = fp[..., 2:, :] + fp[..., :-2, :]
-    y_pad = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(1, 1)])
-    y_sum = y_pad[..., :, 2:] + y_pad[..., :, :-2]
-    q = (x_sum + y_sum) * 0.25
-
-    # Zero the global borders (gradients.h:72-80): global first/last row and
-    # first/last column.
     gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
     gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-    nx_glob = n * nxl
-    border = (gi == 0) | (gi == nx_glob - 1) | (gj == 0) | (gj == ny - 1)
-    return jnp.where(border, 0.0, q)
+    return gi, gj, n * nxl
 
 
 def _halo_exchange_k(f: jnp.ndarray, k: int, axis_name: str):
@@ -115,106 +108,138 @@ def _halo_exchange_k(f: jnp.ndarray, k: int, axis_name: str):
     return top, bot
 
 
-def make_sor_sweeps_sharded(
-    mesh: Mesh,
-    mu: float,
-    lam: float,
-    omega: float,
-    niter: int,
-    reference_stencil: bool = True,
-):
-    """Red-black Navier-Lame SOR sweeps with explicit 1-row ICI halo
-    exchange per half-sweep. Signature: ``(x [2,nx,ny], b [2,nx,ny]) -> x``
-    with both sharded ``P(None, 'x', None)``.
+def _halo_pad(f: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """Local strip extended with k exchanged halo rows on each side."""
+    top, bot = _halo_exchange_k(f, k, axis_name)
+    return jnp.concatenate([top, f, bot], axis=-2)
 
-    Matches the unsharded ``solvers.elastic.sor_sweep`` exactly: the
-    red/black masks use global row indices, borders stay untouched, and the
-    stencil (including the reference's asymmetric y-term) is identical —
-    only the neighbour fetch differs (ppermute halos instead of pad).
-    """
+
+def _qlaplacian_halo(f: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Quasi-laplacian (4-neighbour average, zero at global borders) on a
+    local x-strip with halo exchange. ``f`` is ``[..., nxl, ny]``."""
+    nxl, ny = f.shape[-2], f.shape[-1]
+    fp = _halo_pad(f, 1, axis_name)  # [..., nxl+2, ny]
+
+    x_sum = fp[..., 2:, :] + fp[..., :-2, :]
+    y_pad = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(1, 1)])
+    y_sum = y_pad[..., :, 2:] + y_pad[..., :, :-2]
+    q = (x_sum + y_sum) * 0.25
+
+    # Zero the global borders (gradients.h:72-80): global first/last row and
+    # first/last column.
+    gi, gj, nx_glob = _strip_info((nxl, ny), axis_name)
+    border = (gi == 0) | (gi == nx_glob - 1) | (gj == 0) | (gj == ny - 1)
+    return jnp.where(border, 0.0, q)
+
+
+def _partials_strip(f: jnp.ndarray, axis_name: str):
+    """(d/dx, d/dy) of each channel of ``f [..., nxl, ny]``: central
+    differences with 1-row halo exchange in x, one-sided at the global
+    borders (matches ``ops.grid`` partials)."""
+    nxl, ny = f.shape[-2], f.shape[-1]
+    gi, _, nx_glob = _strip_info((nxl, ny), axis_name)
+    fp = _halo_pad(f, 1, axis_name)
+    gx = (fp[..., 2:, :] - fp[..., :-2, :]) * 0.5
+    first = fp[..., 2:, :] - fp[..., 1:-1, :]   # forward diff (global row 0)
+    last = fp[..., 1:-1, :] - fp[..., :-2, :]   # backward diff (row nx-1)
+    gx = jnp.where(gi == 0, first, jnp.where(gi == nx_glob - 1, last, gx))
+
+    from opticalflow2d_tpu.ops.grid import partial_y
+
+    return gx, partial_y(f)  # y is unsharded
+
+
+def _gradient_local(img_loc: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """``[nxl, ny] -> [2, nxl, ny]`` spatial gradient (matches
+    ``ops.grid.spatial_gradient``)."""
+    gx, gy = _partials_strip(img_loc, axis_name)
+    return jnp.stack([gx, gy], axis=0)
+
+
+def _norm_psum(v, axis_name: str):
+    """Mean per-pixel magnitude of a motion field across all strips
+    (the reference Logger's norm, src/Logger.cpp:32-58)."""
+    mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
+    return lax.psum(jnp.sum(mag), axis_name) / lax.psum(
+        jnp.float32(mag.size), axis_name
+    )
+
+
+def _rel_err_psum(u_new, prev, axis_name: str):
+    """Logger relative step error with psum-reduced norms."""
+    pn = _norm_psum(prev, axis_name)
+    dn = _norm_psum(u_new - prev, axis_name)
+    return jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+
+
+def _redblack_masks(shape_local, axis_name: str):
+    """(red, black) interior checkerboard masks in GLOBAL coordinates."""
+    nxl, ny = shape_local
+    gi, gj, nx_glob = _strip_info(shape_local, axis_name)
+    interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
+    red = ((gi + gj) % 2 == 0) & interior
+    black = ((gi + gj) % 2 == 1) & interior
+    return red, black
+
+
+def _sor_sweep_strip(x, b, mu, lam, omega, reference_stencil, axis_name: str):
+    """One full red-black Navier-Lame SOR sweep on local strips with 1-row
+    halo exchange per half-sweep. Matches the unsharded
+    ``solvers.elastic.sor_sweep`` exactly: global-coordinate masks, borders
+    untouched, identical stencil — only the neighbour fetch differs
+    (ppermute halos instead of pad). THE single definition of the sharded
+    SOR body (elastic step, fluid velocity solve, standalone sweeps)."""
     from opticalflow2d_tpu.solvers.elastic import _gs_candidate
 
-    spec_u = P(None, "x", None)
+    ny = x.shape[-1]
+    red, black = _redblack_masks((x.shape[-2], ny), axis_name)
+    zrow = jnp.zeros((2, 1, ny), x.dtype)
+    b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
 
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(spec_u, spec_u), out_specs=spec_u,
-        check_vma=False,
-    )
-    def sweeps(x, b):
-        nxl, ny = x.shape[-2], x.shape[-1]
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
-        red = ((gi + gj) % 2 == 0) & interior
-        black = ((gi + gj) % 2 == 1) & interior
+    def half(x, mask):
+        xp = _halo_pad(x, 1, axis_name)
+        cand = _gs_candidate(xp, b_pad, mu, lam, omega, reference_stencil)
+        return jnp.where(mask, cand[:, 1:-1, :], x)
 
-        def half_sweep(x, mask, b_pad):
-            # Pad local block with exchanged halos so _gs_candidate's
-            # pad-based shifts see the neighbour rows.
-            top, bot = _halo_exchange_k(x, 1, "x")
-            xp = jnp.concatenate([top, x, bot], axis=-2)
-            cand = _gs_candidate(xp, b_pad, mu, lam, omega, reference_stencil)
-            cand = cand[:, 1:-1, :]
-            return jnp.where(mask, cand, x)
-
-        # b is only read at interior points of the candidate; pad to match.
-        zrow = jnp.zeros((2, 1, ny), x.dtype)
-        b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
-
-        def body(_, x):
-            x = half_sweep(x, red, b_pad)
-            x = half_sweep(x, black, b_pad)
-            return x
-
-        return lax.fori_loop(0, niter, body, x)
-
-    return jax.jit(sweeps)
+    return half(half(x, red), black)
 
 
 def _gaussian_local(f, sigma: float, width: int, axis_name: str = "x"):
-    """Module-level body of the sharded renormalized Gaussian smoothing
-    (shared by make_gaussian_smooth_sharded and the sharded demons step)."""
+    """Strip-local boundary-renormalized separable Gaussian smoothing
+    (matches ``ops.conv.convolve2d_clip``): c-row halo exchange for the
+    x pass; the renormalization denominator comes from global positions."""
     from opticalflow2d_tpu.ops.conv import gaussian_kernel_1d, _sepconv_axis
 
     c = (width - 1) // 2
     g = gaussian_kernel_1d(sigma, width)
 
-    def smooth_local(f, axis_name=axis_name):
-        # x-direction conv needs c halo rows; renormalization denominator
-        # needs the global row position.
-        top, bot = _halo_exchange_k(f, c, axis_name)
-        fp = jnp.concatenate([top, f, bot], axis=-2)
-        num = _sepconv_axis(fp, g, fp.ndim - 2)
-        num = num[..., c:-c, :]
-        num = _sepconv_axis(num, g, num.ndim - 1)
+    fp = _halo_pad(f, c, axis_name)
+    num = _sepconv_axis(fp, g, fp.ndim - 2)
+    num = num[..., c:-c, :]
+    num = _sepconv_axis(num, g, num.ndim - 1)
 
-        nxl, ny = f.shape[-2], f.shape[-1]
-        idx = lax.axis_index(axis_name)
-        n = lax.psum(1, axis_name)
-        nx_glob = n * nxl
-        gi = (lax.broadcasted_iota(jnp.int32, (nxl, 1), 0) + idx * nxl).astype(f.dtype)
-        gj = lax.broadcasted_iota(jnp.int32, (1, ny), 1).astype(f.dtype)
-        # denominator: sum of in-bounds taps = separable 1D sums of clipped
-        # windows, computed from global positions.
-        taps = jnp.asarray(g, f.dtype)
+    nxl, ny = f.shape[-2], f.shape[-1]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    nx_glob = n * nxl
+    gi = (lax.broadcasted_iota(jnp.int32, (nxl, 1), 0) + idx * nxl).astype(f.dtype)
+    gj = lax.broadcasted_iota(jnp.int32, (1, ny), 1).astype(f.dtype)
+    # denominator: sum of in-bounds taps = separable 1D sums of clipped
+    # windows, computed from global positions.
+    taps = jnp.asarray(g, f.dtype)
 
-        def den_1d(pos, nglob):
-            # pos [..., 1] broadcastable; den(pos) = sum_t g[t] * [0 <= pos+t-c < n]
-            total = jnp.zeros_like(pos)
-            for t in range(width):
-                off = t - c
-                total = total + taps[t] * (
-                    (pos + off >= 0) & (pos + off <= nglob - 1)
-                ).astype(f.dtype)
-            return total
+    def den_1d(pos, nglob):
+        # pos [..., 1] broadcastable; den(pos) = sum_t g[t] * [0 <= pos+t-c < n]
+        total = jnp.zeros_like(pos)
+        for t in range(width):
+            off = t - c
+            total = total + taps[t] * (
+                (pos + off >= 0) & (pos + off <= nglob - 1)
+            ).astype(f.dtype)
+        return total
 
-        den = den_1d(gi, nx_glob) * den_1d(gj, ny)
-        return num / den
-
-    return smooth_local(f)
+    den = den_1d(gi, nx_glob) * den_1d(gj, ny)
+    return num / den
 
 
 def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
@@ -232,6 +257,8 @@ def make_gaussian_smooth_sharded(mesh: Mesh, sigma: float, width: int):
     return jax.jit(smooth)
 
 
+# --- strip-local warp / compose (masked-roll gather over halos) -----------
+
 def _bilinear_local(data_loc, px, py, halo: int, axis_name: str):
     """Local-strip bilinear tap fetch via halo exchange + masked rolls.
 
@@ -241,13 +268,8 @@ def _bilinear_local(data_loc, px, py, halo: int, axis_name: str):
     renormalization and floor-cell bounds semantics.
     """
     nxl, ny = data_loc.shape[-2], data_loc.shape[-1]
-    idx = lax.axis_index(axis_name)
-    n = lax.psum(1, axis_name)
-    nx_glob = n * nxl
+    gi, gj, nx_glob = _strip_info((nxl, ny), axis_name)
     h1 = halo + 1
-
-    gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-    gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
 
     dx = jnp.floor(px)
     dy = jnp.floor(py)
@@ -259,8 +281,7 @@ def _bilinear_local(data_loc, px, py, halo: int, axis_name: str):
     rx = dxi - gi
     ry = dyi - gj
 
-    top, bot = _halo_exchange_k(data_loc, h1, axis_name)
-    pad = jnp.concatenate([top, data_loc, bot], axis=-2)
+    pad = _halo_pad(data_loc, h1, axis_name)
 
     lane_rolls = {b: jnp.roll(pad, -b, axis=-1) for b in range(-halo, halo + 2)}
     rolls = {}
@@ -329,8 +350,7 @@ def _warp_local_pallas(img_loc, u_loc, halo: int, axis_name: str, tb: int = 0):
     nxl = img_loc.shape[-2]
     idx = lax.axis_index(axis_name)
     n = lax.psum(1, axis_name)
-    top, bot = _halo_exchange_k(img_loc, _PAD, axis_name)
-    img_pad = jnp.concatenate([top, img_loc, bot], axis=-2)
+    img_pad = _halo_pad(img_loc, _PAD, axis_name)
     return warp2d_pallas_strip(img_pad, u_loc, idx * nxl, n * nxl, halo, tb)
 
 
@@ -342,31 +362,301 @@ def _compose_local_pallas(u_tot_loc, u_inc_loc, halo: int, axis_name: str,
     nxl = u_tot_loc.shape[-2]
     idx = lax.axis_index(axis_name)
     n = lax.psum(1, axis_name)
-    top, bot = _halo_exchange_k(u_tot_loc, _PAD, axis_name)
-    ut_pad = jnp.concatenate([top, u_tot_loc, bot], axis=-2)
+    ut_pad = _halo_pad(u_tot_loc, _PAD, axis_name)
     return compose_pallas_strip(ut_pad, u_inc_loc, idx * nxl, n * nxl, halo, tb)
 
 
-def _gradient_local(img_loc, axis_name: str):
-    """Central-difference gradient with 1-row halo exchange; one-sided at
-    the global borders (matches ops.grid.spatial_gradient)."""
-    nxl, ny = img_loc.shape
-    idx = lax.axis_index(axis_name)
+def _expmap_strip(c, halo: int, axis_name: str, use_pallas: bool = False):
+    """Scaling-and-squaring exponential of a correspondence field with a
+    globally reduced max-magnitude (matches ``ops.warp.expmap``)."""
+    _cl = _compose_local_pallas if use_pallas else _compose_local
+    normsq = c[0] ** 2 + c[1] ** 2
+    m = jnp.sqrt(lax.pmax(jnp.max(normsq), axis_name))
+    nsq_f = jnp.ceil(1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny)))
+    nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(jnp.int32)
+    v = c * jnp.exp2(-nsq.astype(c.dtype))
+    return lax.fori_loop(0, nsq, lambda _, w: _cl(w, w, halo, axis_name), v)
+
+
+# --- family iteration bodies (ONE definition each) ------------------------
+
+def _demons_iter_strip(u_est, iref_l, iaux, p: dict, halo: int,
+                       diffeomorphic: bool, axis_name: str,
+                       use_pallas: bool = False):
+    """One Thirion/diffeomorphic demons iteration on local strips:
+    halo-exchanged warp -> gradient -> demons force -> fluid smoothing ->
+    (exp map ->) compose -> diffusion smoothing. THE single definition of
+    the sharded demons body (step driver, level driver, SP pyramid).
+    Matches ``solvers.demons.make_demons_step`` (DemonsThirions.cpp:18-42)."""
+    _wl = _warp_local_pallas if use_pallas else _warp_local
+    _cl = _compose_local_pallas if use_pallas else _compose_local
+
+    iwar = _wl(iaux, u_est, halo, axis_name)
+    grad = _gradient_local(iwar, axis_name)
+    it_img = iwar - iref_l
+    den = (grad[0] ** 2 + grad[1] ** 2
+           + it_img ** 2 * (p["sigma_i"] ** 2) / (p["sigma_x"] ** 2))
+    num = grad * it_img[None] * -1.0
+    c = jnp.where(den[None] > 0,
+                  num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
+    c = _gaussian_local(c, p["sigma_fluid"], p["kernelwidth"], axis_name)
+    if diffeomorphic:
+        c = _expmap_strip(c, halo, axis_name, use_pallas)
+    u_new = _cl(u_est, c, halo, axis_name)
+    return _gaussian_local(u_new, p["sigma_diffusion"], p["kernelwidth"],
+                           axis_name)
+
+
+def _diffusion_consts_strip(grad_i, it_img, alpha: float):
+    den = alpha * alpha + grad_i[0] ** 2 + grad_i[1] ** 2
+    return grad_i, it_img, den
+
+
+def _diffusion_step_strip(u_est, grad_i, it_img, den, axis_name: str):
+    """One Horn-Schunck Jacobi update on local strips (matches
+    ``solvers.diffusion.diffusion_step``)."""
+    q = _qlaplacian_halo(u_est, axis_name)
+    inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
+    f = grad_i * inner[None]
+    return q - f / den[None]
+
+
+def _elastic_step_strip(u_est, grad_i, it_img, p: dict, axis_name: str):
+    """One elastic iteration: L-SSD force then one red-black SOR sweep on
+    the motion (matches ``solvers.elastic.elastic_step``)."""
+    inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+    b = grad_i * inner[None]
+    return _sor_sweep_strip(
+        b=b, x=u_est, mu=p["mu"], lam=p["lam"], omega=p.get("omega", 0.66),
+        reference_stencil=p.get("reference_stencil", True),
+        axis_name=axis_name,
+    )
+
+
+def _curvature_solve_strip(rhs, nx_g: int, ny_g: int, alpha: float,
+                           tau: float, axis_name: str,
+                           precision=lax.Precision.HIGHEST):
+    """Distributed semi-implicit curvature solve of ``rhs [c, nxl, ny]``:
+    local y-DCT, all_to_all transpose over ICI, local x-DCT + eigenvalue
+    multiply in the transposed layout, inverse transforms back — two
+    all_to_alls total (the classic distributed-FFT decomposition). THE
+    single definition of the sharded DCT body (also used by
+    ``parallel.dct_dist``). Matches ``solvers.curvature.make_curvature_step``
+    (OpticalFlowCurvature.cpp:144-167)."""
+    from opticalflow2d_tpu.ops.dct import (
+        _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
+    )
+
     n = lax.psum(1, axis_name)
-    nx_glob = n * nxl
-    top, bot = _halo_exchange_k(img_loc, 1, axis_name)
-    fp = jnp.concatenate([top, img_loc, bot], axis=-2)  # [nxl+2, ny]
+    nyl = ny_g // n
+    c2x = jnp.asarray(_dct2_matrix(nx_g), rhs.dtype)
+    c3x = jnp.asarray(_dct3_matrix(nx_g), rhs.dtype)
+    c2y = jnp.asarray(_dct2_matrix(ny_g), rhs.dtype)
+    c3y = jnp.asarray(_dct3_matrix(ny_g), rhs.dtype)
+    eig = curvature_eigenvalues(nx_g, ny_g, alpha, tau, rhs.dtype)
+    scale = 1.0 / (4.0 * nx_g * ny_g)
 
-    gx = (fp[2:, :] - fp[:-2, :]) * 0.5
-    gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-    first = fp[2:, :] - fp[1:-1, :]   # forward diff (valid on global row 0)
-    last = fp[1:-1, :] - fp[:-2, :]   # backward diff (global row nx-1)
-    gx = jnp.where(gi == 0, first, jnp.where(gi == nx_glob - 1, last, gx))
+    t = jnp.matmul(rhs, c2y.T, precision=precision)
+    t = lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    eig_slice = lax.dynamic_slice(
+        eig, (0, lax.axis_index(axis_name) * nyl), (nx_g, nyl)
+    )
+    t = jnp.einsum("kx,cxy->cky", c2x, t, precision=precision) * eig_slice[None]
+    t = jnp.einsum("kx,cxy->cky", c3x, t, precision=precision)
+    t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    t = jnp.matmul(t, c3y.T, precision=precision)
+    return t * scale
 
-    from opticalflow2d_tpu.ops.grid import partial_y
 
-    gy = partial_y(img_loc)  # y is unsharded
-    return jnp.stack([gx, gy], axis=0)
+def _curvature_step_strip(u_est, grad_i, it_img, p: dict, nx_g: int,
+                          ny_g: int, axis_name: str):
+    """One curvature iteration: L-SSD force, rhs, distributed DCT solve."""
+    inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+    f = grad_i * inner[None]
+    rhs = u_est - p.get("tau", 1.0) * f
+    return _curvature_solve_strip(
+        rhs, nx_g, ny_g, p["alpha"], p.get("tau", 1.0), axis_name,
+        p.get("dct_precision", lax.Precision.HIGHEST),
+    )
+
+
+def _fluid_level_strip(u, iref_l, imov_l, niter: int, halo: int, p: dict,
+                       convergence_tol: float, axis_name: str):
+    """A full viscous-fluid LEVEL solve on local strips: per-iteration
+    red-black SOR velocity solve, material-derivative increment, adaptive
+    timestep via pmax, Jacobian-triggered regridding via pmin, Logger
+    convergence gate via psum norms, final composition. THE single
+    definition of the sharded fluid loop (level driver AND SP pyramid).
+    Matches ``engine.registration._solve_level_fluid``
+    (ImageRegistrationFluid.cpp:67-142). Returns (u, iterations, regrids)."""
+    mu, lam = p["mu"], p["lam"]
+    omega = p.get("omega", 0.66)
+    dumax = p.get("dumax", 0.65)
+    ts_skip = p.get("timestep_skip", 65.0)
+    rg_thr = p.get("regrid_threshold", 0.5)
+    ref_stencil = p.get("reference_stencil", True)
+
+    def derive(u_tot):
+        ia = _warp_local(imov_l, u_tot, halo, axis_name)
+        return _gradient_local(ia, axis_name), ia - iref_l
+
+    grad_i0, it_img0 = derive(u)
+
+    def fcond(carry):
+        it, conv = carry[-3], carry[-2]
+        return (it < niter) & ~conv
+
+    def fbody(carry):
+        u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
+        inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+        f = grad_i * inner[None]
+        vel = _sor_sweep_strip(vel, f, mu, lam, omega, ref_stencil, axis_name)
+        dudx, dudy = _partials_strip(u_est, axis_name)
+        r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+        m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), axis_name))
+        dt = dumax / m
+        do_step = dt < ts_skip
+        u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0),
+                          u_est)
+        err = _rel_err_psum(u_new, prev, axis_name)
+        conv = (err < convergence_tol) & (it > 1)
+
+        dudx2, dudy2 = _partials_strip(u_new, axis_name)
+        jac = (1.0 + dudx2[0]) * (1.0 + dudy2[1]) - dudx2[1] * dudy2[0]
+        do_regrid = ~conv & (lax.pmin(jnp.min(jac), axis_name) < rg_thr)
+        # The Logger's prev is the PRE-regrid logged estimate (it lives
+        # outside the regrid block in the reference).
+        logged = u_new
+
+        def regrid(args):
+            u_tot, u_new, grad_i, it_img = args
+            u_tot2 = _compose_local(u_tot, u_new, halo, axis_name)
+            g2, t2 = derive(u_tot2)
+            return u_tot2, jnp.zeros_like(u_new), g2, t2
+
+        u_tot, u_new, grad_i, it_img = lax.cond(
+            do_regrid, regrid, lambda a: a, (u_tot, u_new, grad_i, it_img)
+        )
+        return (u_tot, u_new, logged, vel, grad_i, it_img, it + 1, conv,
+                nregrid + do_regrid.astype(jnp.int32))
+
+    u0 = jnp.zeros_like(u)
+    carry = (u, u0, u0, u0, grad_i0, it_img0, jnp.int32(0), jnp.bool_(False),
+             jnp.int32(0))
+    u_tot, u_est, _, _, _, _, it, _, nregrid = lax.while_loop(
+        fcond, fbody, carry
+    )
+    return _compose_local(u_tot, u_est, halo, axis_name), it, nregrid
+
+
+def _iterate_level_strip(one_step, u, niter: int, halo: int,
+                         convergence_tol: float, axis_name: str):
+    """Generic level loop on local strips: while_loop of ``one_step`` gated
+    by the Logger relative step error (psum norms), then compose the level
+    estimate into the incoming motion. Used by every non-fluid family."""
+
+    def cond(carry):
+        _, _, it, conv = carry
+        return (it < niter) & ~conv
+
+    def body(carry):
+        u_est, prev, it, conv = carry
+        u_new = one_step(u_est)
+        err = _rel_err_psum(u_new, prev, axis_name)
+        conv = (err < convergence_tol) & (it > 1)
+        return (u_new, u_new, it + 1, conv)
+
+    u0 = jnp.zeros_like(u)
+    u_est, _, it, _ = lax.while_loop(
+        cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
+    )
+    return _compose_local(u, u_est, halo, axis_name), it
+
+
+def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
+                 p: dict, convergence_tol: float, use_pallas: bool = False):
+    """One level solve on local strips (inside shard_map): family-dispatched
+    per-iteration step + the Logger convergence gate + final composition.
+    Families: thirions, diffeo, diffusion, elastic, curvature, fluid."""
+    if family == "fluid":
+        u, it, _ = _fluid_level_strip(
+            u, iref_l, imov_l, level_niter, halo, p, convergence_tol, "x"
+        )
+        return u, it
+
+    _wl = _warp_local_pallas if use_pallas else _warp_local
+    iaux = _wl(imov_l, u, halo, "x")
+
+    if family in ("thirions", "diffeo"):
+        def one_step(u_est):
+            return _demons_iter_strip(
+                u_est, iref_l, iaux, p, halo, family == "diffeo", "x",
+                use_pallas,
+            )
+    else:
+        grad_i = _gradient_local(iaux, "x")
+        it_img = iaux - iref_l
+        if family == "diffusion":
+            _, _, den = _diffusion_consts_strip(grad_i, it_img, p["alpha"])
+
+            def one_step(u_est):
+                return _diffusion_step_strip(u_est, grad_i, it_img, den, "x")
+        elif family == "elastic":
+            def one_step(u_est):
+                return _elastic_step_strip(u_est, grad_i, it_img, p, "x")
+        elif family == "curvature":
+            nxl, ny = iref_l.shape
+            n = lax.psum(1, "x")
+            if ny % n:
+                raise ValueError("curvature SP needs ny divisible by the mesh")
+            nx_g = n * nxl
+
+            def one_step(u_est):
+                return _curvature_step_strip(
+                    u_est, grad_i, it_img, p, nx_g, ny, "x"
+                )
+        else:  # pragma: no cover
+            raise ValueError(family)
+
+    return _iterate_level_strip(
+        one_step, u, level_niter, halo, convergence_tol, "x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public factories: thin shard_map wrappers around the strip-local bodies
+# ---------------------------------------------------------------------------
+
+_SPEC_U = P(None, "x", None)
+_SPEC_IM = P("x", None)
+
+
+def make_sor_sweeps_sharded(
+    mesh: Mesh,
+    mu: float,
+    lam: float,
+    omega: float,
+    niter: int,
+    reference_stencil: bool = True,
+):
+    """Red-black Navier-Lame SOR sweeps with explicit 1-row ICI halo
+    exchange per half-sweep. Signature: ``(x [2,nx,ny], b [2,nx,ny]) -> x``
+    with both sharded ``P(None, 'x', None)``."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(_SPEC_U, _SPEC_U), out_specs=_SPEC_U,
+        check_vma=False,
+    )
+    def sweeps(x, b):
+        return lax.fori_loop(
+            0, niter,
+            lambda _, x: _sor_sweep_strip(
+                x, b, mu, lam, omega, reference_stencil, "x"
+            ),
+            x,
+        )
+
+    return jax.jit(sweeps)
 
 
 def make_demons_step_sharded(
@@ -393,35 +683,18 @@ def make_demons_step_sharded(
     ``use_pallas=True`` routes warp/compose (including the exp-map
     squarings) through the fused strip-local Pallas kernels.
     """
-    _wl = _warp_local_pallas if use_pallas else _warp_local
-    _cl = _compose_local_pallas if use_pallas else _compose_local
+    p = dict(sigma_i=sigma_i, sigma_x=sigma_x, sigma_diffusion=sigma_diffusion,
+             sigma_fluid=sigma_fluid, kernelwidth=kernelwidth)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
-        out_specs=P(None, "x", None),
+        in_specs=(_SPEC_U, _SPEC_IM, _SPEC_IM),
+        out_specs=_SPEC_U,
         check_vma=False,
     )
     def step(u, iref, imov):
-        iwar = _wl(imov, u, halo, "x")
-        grad = _gradient_local(iwar, "x")
-        it = iwar - iref
-        den = grad[0] ** 2 + grad[1] ** 2 + it**2 * (sigma_i**2) / (sigma_x**2)
-        num = grad * it[None] * -1.0
-        c = jnp.where(den[None] > 0, num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
-        c = _gaussian_local(c, sigma_fluid, kernelwidth)
-        if diffeomorphic:
-            # scaling-and-squaring with a globally reduced maxabs
-            normsq = c[0] ** 2 + c[1] ** 2
-            m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
-            nsq_f = jnp.ceil(1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny)))
-            nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(jnp.int32)
-            v = c * jnp.exp2(-nsq.astype(c.dtype))
-            v = lax.fori_loop(0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v)
-            c = v
-        u = _compose_local(u, c, halo, "x")
-        u = _gaussian_local(u, sigma_diffusion, kernelwidth)
-        return u
+        return _demons_iter_strip(u, iref, imov, p, halo, diffeomorphic, "x",
+                                  use_pallas)
 
     return jax.jit(step)
 
@@ -446,8 +719,8 @@ def make_warp2d_sharded(mesh: Mesh, halo: int, use_pallas: bool = False,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("x", None), P(None, "x", None)),
-        out_specs=P("x", None),
+        in_specs=(_SPEC_IM, _SPEC_U),
+        out_specs=_SPEC_IM,
         check_vma=False,
     )
     def warp(img_loc, u_loc):
@@ -469,6 +742,7 @@ def make_demons_level_sharded(
     halo: int = 2,
     diffeomorphic: bool = False,
     convergence_tol: float = 0.001,
+    use_pallas: bool = False,
 ):
     """A full demons LEVEL solve as one explicit shard_map program:
     per-iteration step (halo-exchanged warp/gradient/smooth/compose) inside
@@ -479,70 +753,112 @@ def make_demons_level_sharded(
     reproduces ``engine.registration._solve_level_demons`` for one
     refinement within the displacement contract.
     """
-
-    def _norm_global(v, axis_name):
-        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
-        total = lax.psum(jnp.sum(mag), axis_name)
-        count = lax.psum(jnp.float32(mag.size), axis_name)
-        return total / count
+    family = "diffeo" if diffeomorphic else "thirions"
+    p = dict(sigma_i=sigma_i, sigma_x=sigma_x, sigma_diffusion=sigma_diffusion,
+             sigma_fluid=sigma_fluid, kernelwidth=kernelwidth)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
-        out_specs=(P(None, "x", None), P()),
+        in_specs=(_SPEC_U, _SPEC_IM, _SPEC_IM),
+        out_specs=(_SPEC_U, P()),
         check_vma=False,
     )
     def solve(u, iref, imov):
-        iaux = _warp_local(imov, u, halo, "x")
-
-        def one_step(u_est):
-            iwar = _warp_local(iaux, u_est, halo, "x")
-            grad = _gradient_local(iwar, "x")
-            it_img = iwar - iref
-            den = grad[0] ** 2 + grad[1] ** 2 + it_img**2 * (sigma_i**2) / (sigma_x**2)
-            num = grad * it_img[None] * -1.0
-            c = jnp.where(
-                den[None] > 0, num / jnp.where(den[None] > 0, den[None], 1.0), 0.0
-            )
-            c = _gaussian_local(c, sigma_fluid, kernelwidth)
-            if diffeomorphic:
-                normsq = c[0] ** 2 + c[1] ** 2
-                m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
-                nsq_f = jnp.ceil(
-                    1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny))
-                )
-                nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(jnp.int32)
-                v = c * jnp.exp2(-nsq.astype(c.dtype))
-                v = lax.fori_loop(
-                    0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v
-                )
-                c = v
-            u_new = _compose_local(u_est, c, halo, "x")
-            return _gaussian_local(u_new, sigma_diffusion, kernelwidth)
-
-        def cond(carry):
-            _, _, it, conv = carry
-            return (it < niter) & ~conv
-
-        def body(carry):
-            u_est, prev, it, conv = carry
-            u_new = one_step(u_est)
-            prev_norm = _norm_global(prev, "x")
-            diff_norm = _norm_global(u_new - prev, "x")
-            err = jnp.where(prev_norm == 0, 0.0,
-                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
-            conv = (err < convergence_tol) & (it > 1)
-            return (u_new, u_new, it + 1, conv)
-
-        u0 = jnp.zeros_like(u)
-        u_est, _, it, _ = lax.while_loop(
-            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
-        )
-        u = _compose_local(u, u_est, halo, "x")
-        return u, it
+        return _level_local(family, u, iref, imov, niter, halo, p,
+                            convergence_tol, use_pallas)
 
     return jax.jit(solve)
 
+
+def make_variational_level_sharded(
+    mesh: Mesh,
+    method: str,
+    niter: int,
+    halo: int = 2,
+    alpha: float = 1.0,
+    tau: float = 1.0,
+    mu: float = 1.0,
+    lam: float = 0.0,
+    omega: float = 0.66,
+    convergence_tol: float = 0.001,
+    reference_stencil: bool = True,
+    grid_shape=None,
+    dct_precision=lax.Precision.HIGHEST,
+):
+    """A full variational LEVEL solve (``method`` in {"diffusion",
+    "elastic", "curvature"}) as one explicit shard_map program: derivatives
+    once (halo-exchanged warp + gradient), then while_loop iterations of the
+    solver stencil with ppermute halos (curvature: distributed DCT via
+    all_to_all), the Logger convergence gate via psum norms, and the final
+    composition — the reference's ImageRegistrationOpticalFlow level loop
+    with every collective explicit.
+
+    Curvature extra kwargs: ``tau`` (uses ``alpha`` as the regularisation
+    weight) and ``dct_precision`` (HIGHEST = parity default; HIGH = the
+    production 3-pass MXU variant); requires ny divisible by the mesh
+    x-axis size.
+
+    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``.
+    """
+    if method not in ("diffusion", "elastic", "curvature"):
+        raise ValueError(method)
+    n_static = mesh.shape["x"]
+    if method == "curvature" and grid_shape is not None:
+        if grid_shape[0] % n_static or grid_shape[1] % n_static:
+            raise ValueError("curvature grid dims must divide the mesh x size")
+    p = dict(alpha=alpha, tau=tau, mu=mu, lam=lam, omega=omega,
+             reference_stencil=reference_stencil, dct_precision=dct_precision)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_SPEC_U, _SPEC_IM, _SPEC_IM),
+        out_specs=(_SPEC_U, P()),
+        check_vma=False,
+    )
+    def solve(u, iref, imov):
+        return _level_local(method, u, iref, imov, niter, halo, p,
+                            convergence_tol)
+
+    return jax.jit(solve)
+
+
+def make_fluid_level_sharded(
+    mesh: Mesh,
+    mu: float,
+    lam: float,
+    omega: float,
+    niter: int,
+    halo: int = 2,
+    dumax: float = 0.65,
+    timestep_skip: float = 65.0,
+    regrid_threshold: float = 0.5,
+    convergence_tol: float = 0.001,
+    reference_stencil: bool = True,
+):
+    """A full viscous-fluid LEVEL solve as one explicit shard_map program
+    (see ``_fluid_level_strip`` for the body; the reference's
+    ``ImageRegistrationFluid.cpp:67-142`` with every collective explicit).
+
+    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations, regrids)``.
+    """
+    p = dict(mu=mu, lam=lam, omega=omega, dumax=dumax,
+             timestep_skip=timestep_skip, regrid_threshold=regrid_threshold,
+             reference_stencil=reference_stencil)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_SPEC_U, _SPEC_IM, _SPEC_IM),
+        out_specs=(_SPEC_U, P(), P()),
+        check_vma=False,
+    )
+    def solve(u, iref, imov):
+        return _fluid_level_strip(u, iref, imov, niter, halo, p,
+                                  convergence_tol, "x")
+
+    return jax.jit(solve)
+
+
+# --- sharded pyramid resampling -------------------------------------------
 
 def _downsample2_local(f, axis_name: str):
     """Factor-2 box downsample of ``[..., nxl, ny]`` strips — purely local
@@ -584,259 +900,6 @@ def _upsample2_local(f, axis_name: str):
     )
 
 
-def _norm_psum(v, axis_name: str):
-    mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
-    return lax.psum(jnp.sum(mag), axis_name) / lax.psum(
-        jnp.float32(mag.size), axis_name
-    )
-
-
-def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
-                 p: dict, convergence_tol: float):
-    """One level solve on local strips (inside shard_map): family-dispatched
-    per-iteration step + the Logger convergence gate via psum norms +
-    final composition. Families: thirions, diffeo, diffusion, elastic,
-    fluid."""
-    iaux = _warp_local(imov_l, u, halo, "x")
-
-    if family in ("thirions", "diffeo"):
-        def one_step(state):
-            u_est, _aux = state
-            iwar = _warp_local(iaux, u_est, halo, "x")
-            grad = _gradient_local(iwar, "x")
-            it_img = iwar - iref_l
-            den = (grad[0] ** 2 + grad[1] ** 2
-                   + it_img**2 * (p["sigma_i"]**2) / (p["sigma_x"]**2))
-            num = grad * it_img[None] * -1.0
-            c = jnp.where(den[None] > 0,
-                          num / jnp.where(den[None] > 0, den[None], 1.0), 0.0)
-            c = _gaussian_local(c, p["sigma_fluid"], p["kernelwidth"])
-            if family == "diffeo":
-                normsq = c[0] ** 2 + c[1] ** 2
-                m = jnp.sqrt(lax.pmax(jnp.max(normsq), "x"))
-                nsq_f = jnp.ceil(
-                    1.0 + jnp.log2(jnp.maximum(m, jnp.finfo(c.dtype).tiny))
-                )
-                nsq = jnp.where(m > 0, jnp.maximum(nsq_f, 0.0), 0.0).astype(
-                    jnp.int32
-                )
-                v = c * jnp.exp2(-nsq.astype(c.dtype))
-                v = lax.fori_loop(
-                    0, nsq, lambda _, w: _compose_local(w, w, halo, "x"), v
-                )
-                c = v
-            u_new = _compose_local(u_est, c, halo, "x")
-            return _gaussian_local(u_new, p["sigma_diffusion"], p["kernelwidth"]), _aux
-        aux0 = ()
-    elif family in ("diffusion", "elastic"):
-        grad_i = _gradient_local(iaux, "x")
-        it_img = iaux - iref_l
-        nxl, ny = iref_l.shape
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-        if family == "diffusion":
-            den = p["alpha"] ** 2 + grad_i[0] ** 2 + grad_i[1] ** 2
-
-            def one_step(state):
-                u_est, _aux = state
-                q = _qlaplacian_halo(u_est, "x")
-                inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
-                f = grad_i * inner[None]
-                return q - f / den[None], _aux
-        else:
-            from opticalflow2d_tpu.solvers.elastic import _gs_candidate
-
-            interior = ((gi >= 1) & (gi <= nx_glob - 2)
-                        & (gj >= 1) & (gj <= ny - 2))
-            red = ((gi + gj) % 2 == 0) & interior
-            black = ((gi + gj) % 2 == 1) & interior
-
-            def one_step(state):
-                u_est, _aux = state
-                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-                b = grad_i * inner[None]
-                zrow = jnp.zeros((2, 1, ny), u_est.dtype)
-                b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
-
-                def half(x, mask):
-                    top, bot = _halo_exchange_k(x, 1, "x")
-                    xp = jnp.concatenate([top, x, bot], axis=-2)
-                    cand = _gs_candidate(
-                        xp, b_pad, p["mu"], p["lam"], p.get("omega", 0.66),
-                        p.get("reference_stencil", True),
-                    )
-                    return jnp.where(mask, cand[:, 1:-1, :], x)
-
-                return half(half(u_est, red), black), _aux
-        aux0 = ()
-    elif family == "curvature":
-        from opticalflow2d_tpu.ops.dct import (
-            _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
-        )
-
-        grad_i = _gradient_local(iaux, "x")
-        it_img = iaux - iref_l
-        nxl, ny = iref_l.shape
-        n_sz = lax.psum(1, "x")
-        nx_g = n_sz * nxl
-        nyl = ny // n_sz
-        if ny % n_sz:
-            raise ValueError("curvature SP needs ny divisible by the mesh")
-        c2x = jnp.asarray(_dct2_matrix(nx_g), u.dtype)
-        c3x = jnp.asarray(_dct3_matrix(nx_g), u.dtype)
-        c2y = jnp.asarray(_dct2_matrix(ny), u.dtype)
-        c3y = jnp.asarray(_dct3_matrix(ny), u.dtype)
-        eig = curvature_eigenvalues(nx_g, ny, p["alpha"], p.get("tau", 1.0),
-                                    u.dtype)
-        scale = 1.0 / (4.0 * nx_g * ny)
-        tau = p.get("tau", 1.0)
-
-        def one_step(state):
-            u_est, _aux = state
-            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-            f = grad_i * inner[None]
-            rhs = u_est - tau * f
-            t = jnp.matmul(rhs, c2y.T, precision=lax.Precision.HIGHEST)
-            t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
-            eig_slice = lax.dynamic_slice(
-                eig, (0, lax.axis_index("x") * nyl), (nx_g, nyl)
-            )
-            t = jnp.einsum("kx,cxy->cky", c2x, t,
-                           precision=lax.Precision.HIGHEST) * eig_slice[None]
-            t = jnp.einsum("kx,cxy->cky", c3x, t,
-                           precision=lax.Precision.HIGHEST)
-            t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
-            t = jnp.matmul(t, c3y.T, precision=lax.Precision.HIGHEST)
-            return t * scale, _aux
-
-        aux0 = ()
-    elif family == "fluid":
-        # Fluid needs its own loop shape (regridding mutates u/derivatives);
-        # handled below instead of the generic while-loop.
-        pass
-    else:  # pragma: no cover
-        raise ValueError(family)
-
-    if family == "fluid":
-        from opticalflow2d_tpu.solvers.elastic import _gs_candidate
-
-        nxl, ny = iref_l.shape
-        mu, lam = p["mu"], p["lam"]
-        omega = p.get("omega", 0.66)
-        dumax = p.get("dumax", 0.65)
-        ts_skip = p.get("timestep_skip", 65.0)
-        rg_thr = p.get("regrid_threshold", 0.5)
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
-        red = ((gi + gj) % 2 == 0) & interior
-        black = ((gi + gj) % 2 == 1) & interior
-
-        def sor(x, b):
-            zrow = jnp.zeros((2, 1, ny), x.dtype)
-            b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
-
-            def half(x, mask):
-                top, bot = _halo_exchange_k(x, 1, "x")
-                xp = jnp.concatenate([top, x, bot], axis=-2)
-                cand = _gs_candidate(
-                    xp, b_pad, mu, lam, omega,
-                    p.get("reference_stencil", True),
-                )
-                return jnp.where(mask, cand[:, 1:-1, :], x)
-
-            return half(half(x, red), black)
-
-        def partials(f):
-            top, bot = _halo_exchange_k(f, 1, "x")
-            fp = jnp.concatenate([top, f, bot], axis=-2)
-            gx = (fp[..., 2:, :] - fp[..., :-2, :]) * 0.5
-            first = fp[..., 2:, :] - fp[..., 1:-1, :]
-            last = fp[..., 1:-1, :] - fp[..., :-2, :]
-            gx = jnp.where(gi == 0, first,
-                           jnp.where(gi == nx_glob - 1, last, gx))
-            from opticalflow2d_tpu.ops.grid import partial_y
-
-            return gx, partial_y(f)
-
-        def derive(u_tot):
-            ia = _warp_local(imov_l, u_tot, halo, "x")
-            g = _gradient_local(ia, "x")
-            return g, ia - iref_l
-
-        grad_i0, it_img0 = _gradient_local(iaux, "x"), iaux - iref_l
-
-        def fcond(carry):
-            it, conv = carry[-3], carry[-2]
-            return (it < level_niter) & ~conv
-
-        def fbody(carry):
-            u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
-            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-            f = grad_i * inner[None]
-            vel = sor(vel, f)
-            dudx, dudy = partials(u_est)
-            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
-            m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), "x"))
-            dt = dumax / m
-            do_step = dt < ts_skip
-            u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0),
-                              u_est)
-            pn = _norm_psum(prev, "x")
-            dn = _norm_psum(u_new - prev, "x")
-            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
-            conv = (err < convergence_tol) & (it > 1)
-            dudx2, dudy2 = partials(u_new)
-            jac = (1.0 + dudx2[0]) * (1.0 + dudy2[1]) - dudx2[1] * dudy2[0]
-            do_regrid = ~conv & (lax.pmin(jnp.min(jac), "x") < rg_thr)
-            logged = u_new
-
-            def regrid(args):
-                u_tot, u_new, grad_i, it_img = args
-                u_tot2 = _compose_local(u_tot, u_new, halo, "x")
-                g2, t2 = derive(u_tot2)
-                return u_tot2, jnp.zeros_like(u_new), g2, t2
-
-            u_tot, u_new, grad_i, it_img = lax.cond(
-                do_regrid, regrid, lambda a: a, (u_tot, u_new, grad_i, it_img)
-            )
-            return (u_tot, u_new, logged, vel, grad_i, it_img, it + 1, conv,
-                    nregrid + do_regrid.astype(jnp.int32))
-
-        u0 = jnp.zeros_like(u)
-        carry = (u, u0, u0, u0, grad_i0, it_img0, jnp.int32(0),
-                 jnp.bool_(False), jnp.int32(0))
-        u_tot, u_est, _, _, _, _, it, _, _ = lax.while_loop(
-            fcond, fbody, carry
-        )
-        return _compose_local(u_tot, u_est, halo, "x"), it
-
-    def cond(carry):
-        _, _, _, it, conv = carry
-        return (it < level_niter) & ~conv
-
-    def body(carry):
-        u_est, aux, prev, it, conv = carry
-        u_new, aux = one_step((u_est, aux))
-        pn = _norm_psum(prev, "x")
-        dn = _norm_psum(u_new - prev, "x")
-        err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
-        conv = (err < convergence_tol) & (it > 1)
-        return (u_new, aux, u_new, it + 1, conv)
-
-    u0 = jnp.zeros_like(u)
-    u_est, _, _, it, _ = lax.while_loop(
-        cond, body, (u0, aux0, u0, jnp.int32(0), jnp.bool_(False))
-    )
-    return _compose_local(u, u_est, halo, "x"), it
-
-
 def make_register_sp(
     mesh: Mesh,
     family: str,
@@ -844,6 +907,7 @@ def make_register_sp(
     nscales: int = 1,
     halo: int = 2,
     convergence_tol: float = 0.001,
+    use_pallas: bool = False,
     **params,
 ):
     """A COMPLETE multi-resolution registration as one explicit shard_map
@@ -856,14 +920,16 @@ def make_register_sp(
     ``2^nscales * mesh_x``; displacement contract within ``halo``). The
     pyramid motion transport reproduces the reference's full-resolution
     round trip, so it matches the registration driver at any depth.
+    ``use_pallas=True`` routes the demons-family warp/compose through the
+    strip-local fused kernels.
     Signature: ``(iref, imov) -> (u [2,nx,ny], iterations [nscales+1])``.
     """
     niter = tuple(int(v) for v in niter)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("x", None), P("x", None)),
-        out_specs=(P(None, "x", None), P()),
+        in_specs=(_SPEC_IM, _SPEC_IM),
+        out_specs=(_SPEC_U, P()),
         check_vma=False,
     )
     def solve(iref, imov):
@@ -892,7 +958,7 @@ def make_register_sp(
                 u = u_full
             u, it = _level_local(
                 family, u, irefs[sc], imovs[sc], niter[sc], halo, params,
-                convergence_tol,
+                convergence_tol, use_pallas,
             )
             iters.append(it)
             if sc > 0:
@@ -928,296 +994,6 @@ def make_register_demons_sp(
     )
 
 
-def make_variational_level_sharded(
-    mesh: Mesh,
-    method: str,
-    niter: int,
-    halo: int = 2,
-    alpha: float = 1.0,
-    tau: float = 1.0,
-    mu: float = 1.0,
-    lam: float = 0.0,
-    omega: float = 0.66,
-    convergence_tol: float = 0.001,
-    reference_stencil: bool = True,
-    grid_shape=None,
-):
-    """A full variational LEVEL solve (``method`` in {"diffusion",
-    "elastic", "curvature"}) as one explicit shard_map program: derivatives
-    once (halo-exchanged warp + gradient), then while_loop iterations of the
-    solver stencil with ppermute halos (curvature: distributed DCT via
-    all_to_all), the Logger convergence gate via psum norms, and the final
-    composition — the reference's ImageRegistrationOpticalFlow level loop
-    with every collective explicit.
-
-    Curvature extra kwargs: ``tau`` (uses ``alpha`` as the regularisation
-    weight); requires nx and ny divisible by the mesh x-axis size.
-
-    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``.
-    """
-    from opticalflow2d_tpu.solvers.elastic import _gs_candidate
-
-    def _norm_global(v, axis_name):
-        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
-        total = lax.psum(jnp.sum(mag), axis_name)
-        count = lax.psum(jnp.float32(mag.size), axis_name)
-        return total / count
-
-    n_static = mesh.shape["x"]
-    if method == "curvature":
-        if grid_shape is None:
-            raise ValueError("curvature needs grid_shape=(nx, ny)")
-        if grid_shape[0] % n_static or grid_shape[1] % n_static:
-            raise ValueError("curvature grid dims must divide the mesh x size")
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
-        out_specs=(P(None, "x", None), P()),
-        check_vma=False,
-    )
-    def solve(u, iref, imov):
-        iaux = _warp_local(imov, u, halo, "x")
-        grad_i = _gradient_local(iaux, "x")
-        it_img = iaux - iref
-
-        nxl, ny = iref.shape
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-
-        if method == "diffusion":
-            den = alpha * alpha + grad_i[0] ** 2 + grad_i[1] ** 2
-
-            def step(u_est):
-                q = _qlaplacian_halo(u_est, "x")
-                inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
-                f = grad_i * inner[None]
-                return q - f / den[None]
-
-        elif method == "elastic":
-            interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
-            red = ((gi + gj) % 2 == 0) & interior
-            black = ((gi + gj) % 2 == 1) & interior
-
-            def step(u_est):
-                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-                b = grad_i * inner[None]
-                zrow = jnp.zeros((2, 1, ny), u_est.dtype)
-                b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
-
-                def half(x, mask):
-                    top, bot = _halo_exchange_k(x, 1, "x")
-                    xp = jnp.concatenate([top, x, bot], axis=-2)
-                    cand = _gs_candidate(xp, b_pad, mu, lam, omega,
-                                         reference_stencil)
-                    return jnp.where(mask, cand[:, 1:-1, :], x)
-
-                return half(half(u_est, red), black)
-
-        elif method == "curvature":
-            from opticalflow2d_tpu.ops.dct import (
-                _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
-            )
-
-            nx_g, ny_g = grid_shape
-            nyl = ny_g // n_static
-            c2x = jnp.asarray(_dct2_matrix(nx_g), u.dtype)
-            c3x = jnp.asarray(_dct3_matrix(nx_g), u.dtype)
-            c2y = jnp.asarray(_dct2_matrix(ny_g), u.dtype)
-            c3y = jnp.asarray(_dct3_matrix(ny_g), u.dtype)
-            eig = curvature_eigenvalues(nx_g, ny_g, alpha, tau, u.dtype)
-            scale = 1.0 / (4.0 * nx_g * ny_g)
-
-            def step(u_est):
-                inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-                f = grad_i * inner[None]
-                rhs = u_est - tau * f
-                t = jnp.matmul(rhs, c2y.T, precision=lax.Precision.HIGHEST)
-                t = lax.all_to_all(t, "x", split_axis=2, concat_axis=1, tiled=True)
-                eig_slice = lax.dynamic_slice(
-                    eig, (0, lax.axis_index("x") * nyl), (nx_g, nyl)
-                )
-                t = jnp.einsum("kx,cxy->cky", c2x, t,
-                               precision=lax.Precision.HIGHEST) * eig_slice[None]
-                t = jnp.einsum("kx,cxy->cky", c3x, t,
-                               precision=lax.Precision.HIGHEST)
-                t = lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
-                t = jnp.matmul(t, c3y.T, precision=lax.Precision.HIGHEST)
-                return t * scale
-
-        else:  # pragma: no cover
-            raise ValueError(method)
-
-        def cond(carry):
-            _, _, it, conv = carry
-            return (it < niter) & ~conv
-
-        def body(carry):
-            u_est, prev, it, conv = carry
-            u_new = step(u_est)
-            prev_norm = _norm_global(prev, "x")
-            diff_norm = _norm_global(u_new - prev, "x")
-            err = jnp.where(prev_norm == 0, 0.0,
-                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
-            conv = (err < convergence_tol) & (it > 1)
-            return (u_new, u_new, it + 1, conv)
-
-        u0 = jnp.zeros_like(u)
-        u_est, _, it, _ = lax.while_loop(
-            cond, body, (u0, u0, jnp.int32(0), jnp.bool_(False))
-        )
-        u = _compose_local(u, u_est, halo, "x")
-        return u, it
-
-    return jax.jit(solve)
-
-
-def make_fluid_level_sharded(
-    mesh: Mesh,
-    mu: float,
-    lam: float,
-    omega: float,
-    niter: int,
-    halo: int = 2,
-    dumax: float = 0.65,
-    timestep_skip: float = 65.0,
-    regrid_threshold: float = 0.5,
-    convergence_tol: float = 0.001,
-    reference_stencil: bool = True,
-):
-    """A full viscous-fluid LEVEL solve as one explicit shard_map program:
-    per-iteration red-black SOR with ppermute halos, material-derivative
-    increment (halo-exchanged gradients), adaptive timestep via pmax,
-    Jacobian-triggered regridding via psum-min, and the Logger convergence
-    gate via psum norms — the reference's ImageRegistrationFluid level loop
-    (``ImageRegistrationFluid.cpp:67-142``) with every collective explicit.
-
-    Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations, regrids)``.
-    """
-    from opticalflow2d_tpu.solvers.elastic import _gs_candidate
-
-    def _norm_global(v, axis_name):
-        mag = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
-        total = lax.psum(jnp.sum(mag), axis_name)
-        count = lax.psum(jnp.float32(mag.size), axis_name)
-        return total / count
-
-    def _sor_sweep_local(x, b):
-        nxl, ny = x.shape[-2], x.shape[-1]
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        gj = lax.broadcasted_iota(jnp.int32, (nxl, ny), 1)
-        interior = (gi >= 1) & (gi <= nx_glob - 2) & (gj >= 1) & (gj <= ny - 2)
-        red = ((gi + gj) % 2 == 0) & interior
-        black = ((gi + gj) % 2 == 1) & interior
-        zrow = jnp.zeros((2, 1, ny), x.dtype)
-        b_pad = jnp.concatenate([zrow, b, zrow], axis=-2)
-
-        def half(x, mask):
-            top, bot = _halo_exchange_k(x, 1, "x")
-            xp = jnp.concatenate([top, x, bot], axis=-2)
-            cand = _gs_candidate(xp, b_pad, mu, lam, omega, reference_stencil)
-            return jnp.where(mask, cand[:, 1:-1, :], x)
-
-        return half(half(x, red), black)
-
-    def _partials_local(f):
-        """(d/dx, d/dy) of each channel of ``f [..., nxl, ny]`` with halo
-        exchange in x and one-sided global borders."""
-        nxl, ny = f.shape[-2], f.shape[-1]
-        idx = lax.axis_index("x")
-        n = lax.psum(1, "x")
-        nx_glob = n * nxl
-        top, bot = _halo_exchange_k(f, 1, "x")
-        fp = jnp.concatenate([top, f, bot], axis=-2)
-        gx = (fp[..., 2:, :] - fp[..., :-2, :]) * 0.5
-        gi = lax.broadcasted_iota(jnp.int32, (nxl, ny), 0) + idx * nxl
-        first = fp[..., 2:, :] - fp[..., 1:-1, :]
-        last = fp[..., 1:-1, :] - fp[..., :-2, :]
-        gx = jnp.where(gi == 0, first, jnp.where(gi == nx_glob - 1, last, gx))
-
-        from opticalflow2d_tpu.ops.grid import partial_y
-
-        gy = partial_y(f)
-        return gx, gy
-
-    def _jacobian_min_global(u):
-        dudx, _ = _partials_local(u)
-        _, dudy = _partials_local(u)
-        jac = (1.0 + dudx[0]) * (1.0 + dudy[1]) - dudx[1] * dudy[0]
-        return lax.pmin(jnp.min(jac), "x")
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(None, "x", None), P("x", None), P("x", None)),
-        out_specs=(P(None, "x", None), P(), P()),
-        check_vma=False,
-    )
-    def solve(u, iref, imov):
-        def derive(u_tot):
-            iaux = _warp_local(imov, u_tot, halo, "x")
-            grad = _gradient_local(iaux, "x")
-            return grad, iaux - iref
-
-        grad_i, it_img = derive(u)
-
-        def body(carry):
-            u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
-            # force at current motion estimate
-            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-            f = grad_i * inner[None]
-            vel = _sor_sweep_local(vel, f)
-            dudx, dudy = _partials_local(u_est)
-            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
-            m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), "x"))
-            dt = dumax / m
-            do_step = dt < timestep_skip
-            u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0), u_est)
-
-            prev_norm = _norm_global(prev, "x")
-            diff_norm = _norm_global(u_new - prev, "x")
-            err = jnp.where(prev_norm == 0, 0.0,
-                            diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
-            conv = (err < convergence_tol) & (it > 1)
-
-            jac_min = _jacobian_min_global(u_new)
-            do_regrid = ~conv & (jac_min < regrid_threshold)
-
-            # The Logger's prev is the PRE-regrid logged estimate (it lives
-            # outside the regrid block in the reference).
-            logged = u_new
-
-            def regrid(args):
-                u_tot, u_new, grad_i, it_img = args
-                u_tot2 = _compose_local(u_tot, u_new, halo, "x")
-                g2, t2 = derive(u_tot2)
-                return u_tot2, jnp.zeros_like(u_new), g2, t2
-
-            u_tot, u_new, grad_i, it_img = lax.cond(
-                do_regrid, regrid, lambda a: a, (u_tot, u_new, grad_i, it_img)
-            )
-            return (u_tot, u_new, logged, vel, grad_i, it_img,
-                    it + 1, conv, nregrid + do_regrid.astype(jnp.int32))
-
-        def cond(carry):
-            it, conv = carry[-3], carry[-2]
-            return (it < niter) & ~conv
-
-        u0 = jnp.zeros_like(u)
-        carry = (u, u0, u0, u0, grad_i, it_img, jnp.int32(0), jnp.bool_(False),
-                 jnp.int32(0))
-        u, u_est, _, _, _, _, it, _, nregrid = lax.while_loop(cond, body, carry)
-        u = _compose_local(u, u_est, halo, "x")
-        return u, it, nregrid
-
-    return jax.jit(solve)
-
-
 def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     """Build a jitted function running ``niter`` Horn-Schunck sweeps with
     explicit ICI halo exchange; inputs/outputs sharded in x-strips.
@@ -1225,24 +1001,19 @@ def make_diffusion_sweeps_sharded(mesh: Mesh, alpha: float, niter: int):
     Signature: ``(u [2, nx, ny], grad_i [2, nx, ny], it [nx, ny]) -> u``.
     The image x-size must be divisible by the mesh's "x" axis.
     """
-    spec_u = P(None, "x", None)
-    spec_im = P("x", None)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(spec_u, spec_u, spec_im),
-        out_specs=spec_u,
+        in_specs=(_SPEC_U, _SPEC_U, _SPEC_IM),
+        out_specs=_SPEC_U,
         check_vma=False,
     )
     def sweeps(u, grad_i, it_img):
-        den = alpha * alpha + grad_i[0] ** 2 + grad_i[1] ** 2
+        _, _, den = _diffusion_consts_strip(grad_i, it_img, alpha)
 
         def body(_, u):
-            q = _qlaplacian_halo(u, "x")
-            inner = it_img + q[0] * grad_i[0] + q[1] * grad_i[1]
-            f = grad_i * inner[None]
-            return q - f / den[None]
+            return _diffusion_step_strip(u, grad_i, it_img, den, "x")
 
         return lax.fori_loop(0, niter, body, u)
 
