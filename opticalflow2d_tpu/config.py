@@ -113,8 +113,11 @@ class RegConfig:
     # for bit-parity runs).
     sor_ordering: str = "redblack"
     # Navier-Lame solve for elastic/fluid: "sor" (reference behavior: one
-    # relaxation sweep per iteration) or "spectral" (exact FFT solve of the
-    # same system per iteration, periodic BCs — the north-star upgrade).
+    # relaxation sweep per iteration), "spectral" (exact FFT solve of the
+    # same system per iteration, periodic BCs), or "spectral_dirichlet"
+    # (DST-based exact solve of the reference's interior-point system with
+    # its untouched-border Dirichlet semantics — the north-star upgrade
+    # with reference-faithful boundaries).
     navier_lame_solver: str = "sor"
     # Curvature DCT implementation: "auto" resolves to "matmul_high"
     # (3-pass MXU, 1.6x faster than HIGHEST @ 3.8e-5 rel err — the

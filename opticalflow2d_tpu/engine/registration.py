@@ -81,6 +81,27 @@ def _stream_iter(cfg: RegConfig, scale: int, it, err):
         jax.debug.callback(_print_iter, jnp.int32(scale), it, err)
 
 
+def _make_navier_lame_spectral(cfg: RegConfig, nx: int, ny: int):
+    """Resolve the spectral Navier-Lame solver for elastic/fluid:
+    "spectral" = periodic rfft2 solve; "spectral_dirichlet" = DST-I solve
+    of the reference's interior-point Dirichlet system (its SOR fixed
+    point, including the asymmetric-stencil compat flag)."""
+    if cfg.navier_lame_solver == "spectral_dirichlet":
+        from opticalflow2d_tpu.solvers.navier_lame import (
+            make_dirichlet_navier_lame_solver,
+        )
+
+        return make_dirichlet_navier_lame_solver(
+            nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype,
+            reference_stencil=cfg.compat.elastic_stencil_reference,
+        )
+    from opticalflow2d_tpu.solvers.navier_lame import (
+        make_spectral_navier_lame_solver,
+    )
+
+    return make_spectral_navier_lame_solver(nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype)
+
+
 def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     """Diffusion / Curvature / Elastic: derivatives once per refinement,
     update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
@@ -105,15 +126,10 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             )
         )
     elif cfg.method == Method.ELASTIC:
-        if cfg.navier_lame_solver == "spectral":
-            from opticalflow2d_tpu.solvers.navier_lame import (
-                make_spectral_navier_lame_solver,
-            )
+        if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
             from opticalflow2d_tpu.solvers.base import lssd_force
 
-            solve = make_spectral_navier_lame_solver(
-                nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype
-            )
+            solve = _make_navier_lame_spectral(cfg, nx, ny)
             step = lambda u_est, d: solve(lssd_force(d, u_est))
         else:
             step = lambda u_est, d: elastic_step(
@@ -156,15 +172,9 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     timestep, Jacobian-triggered regridding
     (reference ImageRegistrationFluid.cpp:67-142)."""
     spectral_solve = None
-    if cfg.navier_lame_solver == "spectral":
-        from opticalflow2d_tpu.solvers.navier_lame import (
-            make_spectral_navier_lame_solver,
-        )
-
+    if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
         nx, ny = iref.shape
-        spectral_solve = make_spectral_navier_lame_solver(
-            nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype
-        )
+        spectral_solve = _make_navier_lame_spectral(cfg, nx, ny)
     step = make_fluid_step(
         cfg.mu, cfg.lam, cfg.omega,
         dumax=cfg.dumax,

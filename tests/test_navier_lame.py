@@ -2,6 +2,7 @@
 end-to-end behavior as the elastic/fluid upgrade path."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -80,3 +81,149 @@ def test_fluid_spectral_registers():
     ssd0 = ((iref - imov) ** 2).sum()
     assert np.isfinite(np.asarray(res.motion)).all()
     assert ((iref - war) ** 2).sum() < 0.3 * ssd0
+
+
+# --- Dirichlet (reference-BC) DST solver ----------------------------------
+
+@pytest.mark.parametrize("mu,lam,ref", [
+    (0.25, 0.0, True), (1.0, 0.5, True), (0.5, 0.0, False),
+    (0.5, 2.0, True), (0.25, 5.0, False), (2.0, -0.5, True),
+])
+def test_dirichlet_solver_inverts_reference_operator(rng, mu, lam, ref):
+    from opticalflow2d_tpu.solvers.navier_lame import (
+        make_dirichlet_navier_lame_solver, apply_navier_lame_operator)
+
+    nx, ny = 40, 32
+    v_true = np.zeros((2, nx, ny), np.float32)
+    v_true[:, 1:-1, 1:-1] = rng.standard_normal((2, nx - 2, ny - 2)).astype(
+        np.float32)
+    f = apply_navier_lame_operator(jnp.asarray(v_true), mu, lam, ref)
+    solve = make_dirichlet_navier_lame_solver(nx, ny, mu, lam,
+                                              reference_stencil=ref)
+    v = np.asarray(solve(f))
+    # Borders stay exactly zero (Dirichlet), interior inverts the operator.
+    assert (v[:, 0, :] == 0).all() and (v[:, :, 0] == 0).all()
+    relerr = np.abs(v - v_true).max() / np.abs(v_true).max()
+    assert relerr < 1e-4, relerr
+
+
+def test_dirichlet_solver_matches_sor_fixed_point(rng):
+    """The DST solve must land on the exact fixed point of the reference's
+    SOR relaxation (borders never written -> homogeneous Dirichlet)."""
+    from opticalflow2d_tpu.solvers.navier_lame import (
+        make_dirichlet_navier_lame_solver)
+    from opticalflow2d_tpu.solvers.elastic import sor_sweep
+
+    mu, lam, omega = 0.5, 0.1, 1.0
+    nx, ny = 32, 28
+    b = np.zeros((2, nx, ny), np.float32)
+    b[:, 1:-1, 1:-1] = rng.standard_normal((2, nx - 2, ny - 2)).astype(
+        np.float32) * 0.1
+    bj = jnp.asarray(b)
+    x = jnp.zeros((2, nx, ny))
+    sweep = jax.jit(lambda x: sor_sweep(x, bj, mu, lam, omega, True, "redblack"))
+    for _ in range(4000):
+        x = sweep(x)
+    solve = make_dirichlet_navier_lame_solver(nx, ny, mu, lam,
+                                              reference_stencil=True)
+    v = np.asarray(solve(bj))
+    np.testing.assert_allclose(np.asarray(x), v, atol=5e-6)
+
+
+def test_elastic_spectral_dirichlet_equals_sor_limit():
+    """The exact Dirichlet solve converges (in ~25 outer iterations) to the
+    SAME registration fixed point the SOR path reaches only in the limit:
+    with the early stop disabled, 2000 SOR outer iterations land within
+    ~1e-6 px of the exact-solve result. (The reference Logger's rel-step
+    gate fires at 1e-3 while SOR is still ~0.04 px from the fixed point —
+    so oracle-vs-spectral parity at the gate reflects the gate, not the
+    solver; see the oracle-quality test below.)"""
+    iref, imov = make_pair(32, 28, shift=(1.2, -0.7))
+    spec = RegConfig(
+        method=Method.ELASTIC, niter=(60,), nscales=0, mu=0.5, lam=0.0,
+        navier_lame_solver="spectral_dirichlet", convergence_tol=1e-7,
+        warp_halo=0, warp_halo_outer=0,
+    )
+    res_s = register(iref, imov, spec)
+
+    sor = RegConfig(
+        method=Method.ELASTIC, niter=(2000,), nscales=0, mu=0.5, lam=0.0,
+        convergence_tol=0.0, warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, sor)
+    d = np.asarray(res.motion, np.float64) - np.asarray(res_s.motion, np.float64)
+    ee = float(np.mean(np.sqrt(d[0] ** 2 + d[1] ** 2)))
+    assert ee < 1e-4, ee
+
+
+def test_elastic_spectral_dirichlet_quality_vs_oracle():
+    """Against the oracle run at its own early-stop gate: the exact-solve
+    registration is at least as good (the oracle stops ~0.04 px short of
+    the shared fixed point)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle_utils import run_oracle, endpoint_error, ensure_oracle
+
+    try:
+        ensure_oracle()
+    except Exception:
+        pytest.skip("oracle build unavailable")
+
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    u_ref, war_ref = run_oracle(iref, imov, 1, 1, 2, [0.5, 0.0], [400, 200])
+    cfg = RegConfig(
+        method=Method.ELASTIC, niter=(400, 200), nscales=1, mu=0.5, lam=0.0,
+        navier_lame_solver="spectral_dirichlet",
+        warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    # Reaches its fixed point in a handful of iterations, lands within the
+    # oracle's early-stop distance of the oracle field, and registers at
+    # least as well.
+    assert int(res.traces[0].iterations) <= 20
+    assert endpoint_error(np.asarray(res.motion, np.float64), u_ref) < 0.06
+    war = np.asarray(warp2d(jnp.asarray(imov), res.motion))
+    ssd_ours = ((iref - war) ** 2).sum()
+    ssd_oracle = ((np.asarray(iref, np.float64) - war_ref) ** 2).sum()
+    assert ssd_ours < 1.1 * ssd_oracle + 1e-3
+
+
+def test_fluid_spectral_dirichlet_registers():
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    cfg = RegConfig(
+        method=Method.FLUID, niter=(40, 20), nscales=1, mu=0.25, lam=0.0,
+        navier_lame_solver="spectral_dirichlet", warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    war = np.asarray(warp2d(jnp.asarray(imov), res.motion))
+    ssd0 = ((iref - imov) ** 2).sum()
+    assert np.isfinite(np.asarray(res.motion)).all()
+    assert ((iref - war) ** 2).sum() < 0.3 * ssd0
+
+
+def test_fluid_spectral_dirichlet_converged_parity_vs_oracle():
+    """Fluid velocity solve: the oracle warm-starts one SOR sweep per
+    iteration toward the same Dirichlet system; with enough iterations both
+    trajectories land on registrations of equal quality."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle_utils import run_oracle, ensure_oracle
+
+    try:
+        ensure_oracle()
+    except Exception:
+        pytest.skip("oracle build unavailable")
+
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    u_ref, war_ref = run_oracle(iref, imov, 1, 1, 5, [0.25, 0.0], [50, 25])
+    cfg = RegConfig(
+        method=Method.FLUID, niter=(50, 25), nscales=1, mu=0.25, lam=0.0,
+        navier_lame_solver="spectral_dirichlet", warp_halo=0, warp_halo_outer=0,
+    )
+    res = register(iref, imov, cfg)
+    war = np.asarray(warp2d(jnp.asarray(imov), res.motion))
+    ssd0 = ((iref - imov) ** 2).sum()
+    ssd_ours = ((iref - war) ** 2).sum()
+    ssd_oracle = ((np.asarray(iref, np.float64) - war_ref) ** 2).sum()
+    assert ssd_ours < 0.2 * ssd0
+    assert ssd_ours < 1.25 * ssd_oracle + 1e-3
