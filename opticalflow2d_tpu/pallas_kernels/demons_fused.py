@@ -1,0 +1,426 @@
+"""Fused demons iteration as two Pallas TPU kernels.
+
+The jnp demons step (``solvers.demons.make_demons_step``, reference
+``src/regularization/Demons/DemonsThirions.cpp:18-42``) chains
+warp -> gradient -> force -> Gaussian(fluid) -> compose -> Gaussian
+(diffusion); even with the fused warp/compose kernels each link makes its
+own HBM round trip (~6 per iteration). These kernels collapse the chain to
+TWO passes that keep every intermediate in VMEM:
+
+- ``demons_correspondence_pallas`` (kernel A): streamed read of
+  (iaux, iref, u), one write of the sigma_fluid-smoothed correspondence.
+  Inside one row-tile pass: masked-roll bilinear warp (the
+  ``warp_fused`` select chain), one-sided-border gradient, the demons
+  force with its 0/0 guard, and the boundary-renormalized separable
+  Gaussian (denominators from global coordinates).
+- ``compose_smooth_pallas`` (kernel B): streamed read of (u, c), one
+  write of the sigma_diffusion-smoothed composition ``smooth(c + u(x+c))``.
+
+Thirion = A ∘ B; diffeomorphic = A ∘ expmap ∘ B (the exp-map squarings
+stay on the existing fused compose kernel). Bit-identical to the jnp
+chain: every stage reproduces its jnp counterpart's float expression
+order (tested in tests/test_pallas_kernels.py, interpret + TPU).
+
+Tiling: all stages compute on the full DMA'd tile of ``tb + 2*_PAD``
+rows (inputs are pre-padded by ``_PAD`` rows of zeros). The pad rows hold
+garbage results; the final smooth's tap masks (global-row validity) zero
+their contribution, exactly like the jnp path's zero padding. Computing on
+the 8-aligned full tile wastes ``2*_PAD/tb`` of VPU work but keeps every
+value slice at offset 0 / 8-aligned length — Mosaic stalls on odd sublane
+extents (see warp_fused).
+
+Constraint: ``halo + kernelwidth//2 + 2 <= _PAD`` (= 8); the caller falls
+back to the jnp path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD
+
+
+def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int):
+    """The masked-roll bilinear tap fetch on a full padded tile.
+
+    ``tile [nc, rows, ny]`` (sublane row r = padded row r); ``rx, ry
+    [rows, ny]`` are floor offsets relative to each PADDED row's own
+    position. Returns (g00, g10, g01, g11) with tap (a, b) for output row
+    r read from padded row r + a (sublane roll; wrapped rows are masked by
+    the caller's weights/bounds) and lane offset b.
+    """
+    lane_rolls = {}
+
+    def lane(b):
+        if b not in lane_rolls:
+            lane_rolls[b] = pltpu.roll(tile, (ny - b) % ny, 2)
+        return lane_rolls[b]
+
+    def rolled(a, b):
+        return pltpu.roll(lane(b), (rows - a) % rows, 1)
+
+    nc = tile.shape[0]
+    z = jnp.zeros((nc, rows, ny), tile.dtype)
+    g00, g10, g01, g11 = z, z, z, z
+    for ox in range(-halo, halo + 1):
+        mx = rx == ox
+        for oy in range(-halo, halo + 1):
+            m = mx & (ry == oy)
+            g00 = jnp.where(m, rolled(ox, oy), g00)
+            g10 = jnp.where(m, rolled(ox + 1, oy), g10)
+            g01 = jnp.where(m, rolled(ox, oy + 1), g01)
+            g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+    return g00, g10, g01, g11
+
+
+def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int):
+    """Warp/compose core on a full padded tile: global coords, weights,
+    edge renormalization, floor-cell bounds — ``ops.warp._bilinear_from_taps``
+    expression-for-expression. ``gi, gj [rows, ny]`` are GLOBAL coords of
+    each padded row; ``data_tile [nc, rows, ny]``."""
+    nc, rows, ny = data_tile.shape
+    px = gi.astype(ux.dtype) + ux
+    py = gj.astype(uy.dtype) + uy
+    dx = jnp.floor(px)
+    dy = jnp.floor(py)
+    fx = px - dx
+    fy = py - dy
+    dxi = dx.astype(jnp.int32)
+    dyi = dy.astype(jnp.int32)
+    in_bounds = (dxi >= 0) & (dxi < nx) & (dyi >= 0) & (dyi < ny)
+    rx = dxi - gi
+    ry = dyi - gj
+
+    g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny)
+
+    has_x1 = dxi < nx - 1
+    has_y1 = dyi < ny - 1
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
+    w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
+    w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
+    value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
+    weight = w00 + w10 + w01 + w11
+    return value, weight, in_bounds
+
+
+def _smooth_tile(f, gi_col, gj_row, taps, c: int, rows: int, tb: int,
+                 nx: int, ny: int):
+    """Boundary-renormalized separable Gaussian on a padded tile:
+    ``f [nc, rows, ny]`` -> ``[nc, tb, ny]`` (output row r = padded row
+    r + _PAD). Matches ``ops.conv.convolve2d_clip``: zero-contribution
+    taps outside the global grid (masks instead of zero padding, same
+    adds), then division by the separable in-bounds tap-weight product.
+    ``gi_col [rows, 1]`` global row of each padded row; ``gj_row [1, ny]``.
+    """
+    k = len(taps)
+
+    # x-pass: out row r (padded row r+_PAD) taps padded rows r+_PAD+t-c.
+    # All contributions from outside the global [0, nx) rows are zeroed
+    # (the jnp path's zero padding).
+    num_x = None
+    gi_center = gi_col[_PAD : _PAD + tb]  # [tb, 1] global rows of output
+    for t in range(k):
+        off = t - c
+        shifted = pltpu.roll(f, (rows - (_PAD + off)) % rows, 1)[:, 0:tb, :]
+        valid = (gi_center + off >= 0) & (gi_center + off <= nx - 1)
+        term = jnp.where(valid[None], shifted * float(taps[t]), 0.0)
+        num_x = term if num_x is None else num_x + term
+
+    # y-pass on num_x [nc, tb, ny]: lane rolls with global-column masks.
+    num = None
+    for t in range(k):
+        off = t - c
+        shifted = pltpu.roll(num_x, (ny - off) % ny, 2)
+        valid = (gj_row + off >= 0) & (gj_row + off <= ny - 1)
+        term = jnp.where(valid[None], shifted * float(taps[t]), 0.0)
+        num = term if num is None else num + term
+
+    # Separable renormalization from global positions (same per-tap adds
+    # as the jnp denominator convolution: g[t] or 0.0 in t order).
+    fdt = f.dtype
+    den_x = None
+    den_y = None
+    gi_f = gi_center.astype(fdt)
+    gj_f = gj_row.astype(fdt)
+    for t in range(k):
+        off = t - c
+        tx = jnp.where((gi_f + off >= 0) & (gi_f + off <= nx - 1),
+                       jnp.full_like(gi_f, float(taps[t])), 0.0)
+        ty = jnp.where((gj_f + off >= 0) & (gj_f + off <= ny - 1),
+                       jnp.full_like(gj_f, float(taps[t])), 0.0)
+        den_x = tx if den_x is None else den_x + tx
+        den_y = ty if den_y is None else den_y + ty
+    den = den_x * den_y  # [tb, 1] * [1, ny] -> [tb, ny]
+    return num / den[None]
+
+
+def _corr_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
+                 iaux_sc, iref_sc, u_sc, sem0, sem1, sem2, *,
+                 halo: int, c: int, taps, tb: int, nx: int, ny: int,
+                 sigma_i: float, sigma_x: float):
+    i = pl.program_id(0)
+    rows = tb + 2 * _PAD
+
+    d0 = pltpu.make_async_copy(iaux_hbm.at[pl.ds(i * tb, rows), :], iaux_sc, sem0)
+    d1 = pltpu.make_async_copy(iref_hbm.at[pl.ds(i * tb, rows), :], iref_sc, sem1)
+    d2 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * tb, rows), :], u_sc, sem2)
+    d0.start(); d1.start(); d2.start()
+    d0.wait(); d1.wait(); d2.wait()
+
+    iaux = iaux_sc[:, :]
+    iref = iref_sc[:, :]
+    u = u_sc[:, :, :]
+
+    row0 = row0_ref[0]
+    gi = (lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
+          + i * tb - _PAD + row0)
+    gj = lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
+
+    # 1. warp iaux by u on the full padded tile (warp2d semantics: OOB /
+    #    zero-weight pixels keep the iaux value).
+    value, weight, in_b = _bilinear_tile(iaux[None], u[0], u[1], gi, gj,
+                                         halo, nx)
+    ok = in_b & (weight != 0)
+    safe_w = jnp.where(weight != 0, weight, 1.0)
+    iwar = jnp.where(ok, value[0] / safe_w, iaux)
+
+    # 2. gradient (ops.grid.spatial_gradient: central, one-sided at the
+    #    global borders). Pad-row neighbours of real rows hold real data
+    #    (the DMA window covers them); rolled-in garbage lands only on pad
+    #    rows, which the smooth's masks zero.
+    nxt_x = pltpu.roll(iwar, rows - 1, 0)   # row r+1
+    prv_x = pltpu.roll(iwar, 1, 0)          # row r-1
+    gx = jnp.where(gi == 0, nxt_x - iwar,
+                   jnp.where(gi == nx - 1, iwar - prv_x,
+                             (nxt_x - prv_x) * 0.5))
+    nxt_y = pltpu.roll(iwar, ny - 1, 1)
+    prv_y = pltpu.roll(iwar, 1, 1)
+    gy = jnp.where(gj == 0, nxt_y - iwar,
+                   jnp.where(gj == ny - 1, iwar - prv_y,
+                             (nxt_y - prv_y) * 0.5))
+    it = iwar - iref
+
+    # 3. demons force (solvers.base.demons_force, incl. the 0/0 guard).
+    den = gx ** 2 + gy ** 2 + it ** 2 * (sigma_i * sigma_i) / (sigma_x * sigma_x)
+    pos = den > 0
+    safe_den = jnp.where(pos, den, 1.0)
+    cx = jnp.where(pos, (gx * it * -1.0) / safe_den, 0.0)
+    cy = jnp.where(pos, (gy * it * -1.0) / safe_den, 0.0)
+    corr = jnp.stack([cx, cy])
+
+    # 4. sigma_fluid smoothing with boundary renormalization.
+    out_ref[:, :, :] = _smooth_tile(
+        corr, gi[:, 0:1], gj[0:1, :], taps, c, rows, tb, nx, ny
+    )
+
+
+def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
+                    *, halo: int, c: int, taps, tb: int, nx: int, ny: int):
+    i = pl.program_id(0)
+    rows = tb + 2 * _PAD
+
+    d0 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * tb, rows), :], u_sc, sem0)
+    d1 = pltpu.make_async_copy(c_hbm.at[:, pl.ds(i * tb, rows), :], c_sc, sem1)
+    d0.start(); d1.start()
+    d0.wait(); d1.wait()
+
+    u = u_sc[:, :, :]
+    cc = c_sc[:, :, :]
+
+    row0 = row0_ref[0]
+    gi = (lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
+          + i * tb - _PAD + row0)
+    gj = lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
+
+    # compose(u, c) on the full padded tile (ops.warp.compose semantics).
+    value, weight, in_b = _bilinear_tile(u, cc[0], cc[1], gi, gj, halo, nx)
+    safe_w = jnp.where(weight != 0, weight, 1.0)
+    inc_plus = cc + jnp.where(weight != 0, value / safe_w, 0.0)
+    composed = jnp.where(in_b, inc_plus, u)
+
+    out_ref[:, :, :] = _smooth_tile(
+        composed, gi[:, 0:1], gj[0:1, :], taps, c, rows, tb, nx, ny
+    )
+
+
+def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int) -> int:
+    """Row-tile size: VMEM budget for the cached lane rolls (see
+    warp_fused), 8-aligned, dividing nx."""
+    budget_rows = int(1.2e6 / ((2 * halo + 2) * nc_chain * ny * 4)) - 2 * _PAD
+    tb = max(8, min(64, (budget_rows // 8) * 8))
+    if nx % tb != 0 or tb % 8 != 0:
+        start = min(tb if tb % 8 == 0 else 64, nx)
+        tb = 8
+        for cand in range(start, 7, -8):
+            if nx % cand == 0:
+                tb = cand
+                break
+    return tb
+
+
+def _pad_rows(a, extra: int):
+    pad = [(0, 0)] * (a.ndim - 2) + [(_PAD, _PAD + extra), (0, 0)]
+    return jnp.pad(a, pad)
+
+
+def fused_supported(halo: int, kernelwidth: int) -> bool:
+    """Tap reach of the in-tile chain must fit the _PAD window: the
+    deepest dependency is gradient row (+-c+-1) -> warp taps (+-(h+1))."""
+    return halo + kernelwidth // 2 + 2 <= _PAD
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sigma_i", "sigma_x", "sigma_fluid", "kernelwidth", "halo", "tb",
+    "nx_glob", "prepadded"))
+def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
+                                 sigma_x: float, sigma_fluid: float,
+                                 kernelwidth: int, halo: int = 2,
+                                 tb: int = 0, row0=None, nx_glob=None,
+                                 prepadded: bool = False):
+    """Fused kernel A: ``gaussian_smooth(demons_force(derivatives(iref,
+    warp2d(iaux, u))), sigma_fluid)`` in one VMEM-resident pass.
+    ``iaux, iref [nx, ny]``, ``u [2, nx, ny]`` -> ``[2, nx, ny]``.
+    Contract: in-bounds floor offsets of ``u`` within ``halo``.
+
+    ``row0``/``nx_glob``/``prepadded``: strip-local mode — the inputs
+    already carry ``_PAD`` rows of neighbour halo on each side (ppermute
+    exchanged), ``row0`` (scalar-prefetched) is the strip's global first
+    row and ``nx_glob`` the static global x extent."""
+    from opticalflow2d_tpu.ops.conv import gaussian_kernel_1d
+
+    if prepadded:
+        nx = iaux.shape[0] - 2 * _PAD
+        ny = iaux.shape[1]
+    else:
+        nx, ny = iaux.shape
+    c = (kernelwidth - 1) // 2
+    taps = tuple(float(v) for v in gaussian_kernel_1d(sigma_fluid, kernelwidth))
+
+    nx_out = nx
+    extra = (-nx) % 8
+    if extra:
+        iaux = jnp.pad(iaux, ((0, extra), (0, 0)))
+        iref = jnp.pad(iref, ((0, extra), (0, 0)))
+        u = jnp.pad(u, ((0, 0), (0, extra), (0, 0)))
+        nx += extra
+    if tb <= 0:
+        tb = _pick_tb(nx, ny, 1, halo)
+    nblocks = nx // tb
+    nx_bound = nx_out if nx_glob is None else nx_glob
+
+    if prepadded:
+        iaux_p, iref_p, u_p = iaux, iref, u
+    else:
+        iaux_p = _pad_rows(iaux, 0)
+        iref_p = _pad_rows(iref, 0)
+        u_p = _pad_rows(u, 0)
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
+    else:
+        row0 = jnp.asarray(row0, jnp.int32).reshape(1)
+
+    rows = tb + 2 * _PAD
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, ny), iaux.dtype),
+            pltpu.VMEM((rows, ny), iref.dtype),
+            pltpu.VMEM((2, rows, ny), u.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _corr_kernel, halo=halo, c=c, taps=taps, tb=tb, nx=nx_bound, ny=ny,
+        sigma_i=sigma_i, sigma_x=sigma_x,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype),
+    )(row0, iaux_p, iref_p, u_p)
+    return out[:, :nx_out] if extra else out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sigma_diffusion", "kernelwidth", "halo", "tb", "nx_glob", "prepadded"))
+def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
+                          kernelwidth: int, halo: int = 2, tb: int = 0,
+                          row0=None, nx_glob=None, prepadded: bool = False):
+    """Fused kernel B: ``gaussian_smooth(compose(u_total, c_inc),
+    sigma_diffusion)`` in one VMEM-resident pass. Both fields
+    ``[2, nx, ny]``. Contract: in-bounds floor offsets of ``c_inc`` within
+    ``halo``. ``row0``/``nx_glob``/``prepadded``: strip-local mode (see
+    ``demons_correspondence_pallas``)."""
+    from opticalflow2d_tpu.ops.conv import gaussian_kernel_1d
+
+    if prepadded:
+        nx = u_total.shape[1] - 2 * _PAD
+        ny = u_total.shape[2]
+    else:
+        _, nx, ny = u_total.shape
+    c = (kernelwidth - 1) // 2
+    taps = tuple(float(v) for v in
+                 gaussian_kernel_1d(sigma_diffusion, kernelwidth))
+
+    nx_out = nx
+    extra = (-nx) % 8
+    if extra:
+        u_total = jnp.pad(u_total, ((0, 0), (0, extra), (0, 0)))
+        c_inc = jnp.pad(c_inc, ((0, 0), (0, extra), (0, 0)))
+        nx += extra
+    if tb <= 0:
+        tb = _pick_tb(nx, ny, 2, halo)
+    nblocks = nx // tb
+    nx_bound = nx_out if nx_glob is None else nx_glob
+
+    if prepadded:
+        u_p, c_p = u_total, c_inc
+    else:
+        u_p = _pad_rows(u_total, 0)
+        c_p = _pad_rows(c_inc, 0)
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
+    else:
+        row0 = jnp.asarray(row0, jnp.int32).reshape(1)
+
+    rows = tb + 2 * _PAD
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, ny), u_total.dtype),
+            pltpu.VMEM((2, rows, ny), c_inc.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _compose_kernel, halo=halo, c=c, taps=taps, tb=tb, nx=nx_bound, ny=ny,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, nx, ny), u_total.dtype),
+    )(row0, u_p, c_p)
+    return out[:, :nx_out] if extra else out

@@ -380,6 +380,39 @@ def _expmap_strip(c, halo: int, axis_name: str, use_pallas: bool = False):
 
 # --- family iteration bodies (ONE definition each) ------------------------
 
+def _demons_iter_strip_fused(u_est, iref_l, iaux, p: dict, halo: int,
+                             diffeomorphic: bool, axis_name: str):
+    """The fully fused strip-local demons iteration: two Pallas kernels
+    (``pallas_kernels.demons_fused``) fed with ppermute halo pre-pads and
+    the scalar-prefetched strip origin; exp-map squarings on the fused
+    strip compose kernel."""
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas, compose_smooth_pallas)
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD
+
+    nxl = iaux.shape[-2]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    row0 = idx * nxl
+    nxg = n * nxl
+
+    c = demons_correspondence_pallas(
+        _halo_pad(iaux, _PAD, axis_name),
+        _halo_pad(iref_l, _PAD, axis_name),
+        _halo_pad(u_est, _PAD, axis_name),
+        p["sigma_i"], p["sigma_x"], p["sigma_fluid"], p["kernelwidth"],
+        halo=halo, row0=row0, nx_glob=nxg, prepadded=True,
+    )
+    if diffeomorphic:
+        c = _expmap_strip(c, halo, axis_name, use_pallas=True)
+    return compose_smooth_pallas(
+        _halo_pad(u_est, _PAD, axis_name),
+        _halo_pad(c, _PAD, axis_name),
+        p["sigma_diffusion"], p["kernelwidth"],
+        halo=halo, row0=row0, nx_glob=nxg, prepadded=True,
+    )
+
+
 def _demons_iter_strip(u_est, iref_l, iaux, p: dict, halo: int,
                        diffeomorphic: bool, axis_name: str,
                        use_pallas: bool = False):
@@ -387,7 +420,20 @@ def _demons_iter_strip(u_est, iref_l, iaux, p: dict, halo: int,
     halo-exchanged warp -> gradient -> demons force -> fluid smoothing ->
     (exp map ->) compose -> diffusion smoothing. THE single definition of
     the sharded demons body (step driver, level driver, SP pyramid).
-    Matches ``solvers.demons.make_demons_step`` (DemonsThirions.cpp:18-42)."""
+    Matches ``solvers.demons.make_demons_step`` (DemonsThirions.cpp:18-42).
+
+    ``use_pallas=True`` runs the whole iteration as the two fused
+    strip-local Pallas kernels (halo pre-pad + scalar-prefetched strip
+    origin) when the tap reach fits; otherwise falls back to the
+    strip-local fused warp/compose inside the jnp chain.
+    """
+    if use_pallas:
+        from opticalflow2d_tpu.pallas_kernels.demons_fused import fused_supported
+
+        if fused_supported(halo, p["kernelwidth"]):
+            return _demons_iter_strip_fused(
+                u_est, iref_l, iaux, p, halo, diffeomorphic, axis_name
+            )
     _wl = _warp_local_pallas if use_pallas else _warp_local
     _cl = _compose_local_pallas if use_pallas else _compose_local
 

@@ -11,15 +11,29 @@ and ``DemonsDiffeomorphic.cpp:15-35``):
      (per ``MotionAccumulation``); diffeomorphic: exponentiate the smoothed
      correspondence (scaling-and-squaring) then always compose,
   6. Gaussian-smooth the motion ("diffusion" smoothing).
+
+With ``use_pallas`` the whole iteration runs as TWO fused Pallas kernels
+(``pallas_kernels.demons_fused``): warp+gradient+force+fluid-smooth, then
+compose+diffusion-smooth — each intermediate stays in VMEM instead of
+round-tripping HBM. The same runtime displacement-bound checks as the
+unfused path guard an exact-gather jnp fallback, so results are identical
+for any input.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from opticalflow2d_tpu.config import MotionAccumulation
 from opticalflow2d_tpu.ops.conv import gaussian_smooth
-from opticalflow2d_tpu.ops.warp import warp2d, compose, expmap
+from opticalflow2d_tpu.ops.warp import (
+    warp2d,
+    compose,
+    expmap,
+    _sample_coords,
+    _displacement_bounded,
+)
 from opticalflow2d_tpu.solvers.base import derivatives, demons_force
 
 
@@ -38,6 +52,20 @@ def make_demons_step(
 ):
     """Build the demons step ``(u, iref, imov) -> u``. ``imov`` is the
     refinement-level warped moving image (the reference's ``Iaux``)."""
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import fused_supported
+
+    use_fused = (
+        use_pallas
+        and warp_halo > 0
+        and not conv_flatwrap  # fused kernels implement the clipped smooth
+        and fused_supported(warp_halo, kernelwidth)
+    )
+
+    if use_fused:
+        return _make_fused_step(
+            sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
+            diffeomorphic, accumulation, maxabs_bug, warp_halo,
+        )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
         iwar = warp2d(imov, u, warp_halo, use_pallas)
@@ -54,5 +82,70 @@ def make_demons_step(
             u = u + c
         u = gaussian_smooth(u, sigma_diffusion, kernelwidth, flatwrap=conv_flatwrap)
         return u
+
+    return step
+
+
+def _make_fused_step(
+    sigma_i: float,
+    sigma_x: float,
+    sigma_diffusion: float,
+    sigma_fluid: float,
+    kernelwidth: int,
+    diffeomorphic: bool,
+    accumulation: MotionAccumulation,
+    maxabs_bug: bool,
+    halo: int,
+):
+    """The two-kernel fused demons iteration with exact-gather fallbacks.
+
+    Correspondence: one Pallas pass when the motion is displacement-bounded
+    (the same runtime predicate the unfused warp2d uses), jnp exact chain
+    otherwise. Update: one Pallas compose+smooth pass when the smoothed
+    correspondence is bounded (it is, after sigma_fluid smoothing, except
+    in pathological cases), jnp otherwise. Diffeomorphic: the exp map runs
+    on the fused compose kernel between the two passes.
+    """
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas,
+        compose_smooth_pallas,
+    )
+
+    def exact_corr(args):
+        u, iref, imov = args
+        iwar = warp2d(imov, u, 0)
+        d = derivatives(iref, iwar)
+        c = demons_force(d, sigma_i, sigma_x)
+        return gaussian_smooth(c, sigma_fluid, kernelwidth)
+
+    def fused_corr(args):
+        u, iref, imov = args
+        return demons_correspondence_pallas(
+            imov, iref, u, sigma_i, sigma_x, sigma_fluid, kernelwidth, halo
+        )
+
+    def exact_update(args):
+        u, c = args
+        return gaussian_smooth(compose(u, c, 0), sigma_diffusion, kernelwidth)
+
+    def fused_update(args):
+        u, c = args
+        return compose_smooth_pallas(u, c, sigma_diffusion, kernelwidth, halo)
+
+    def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
+        px, py = _sample_coords(u)
+        c = lax.cond(
+            _displacement_bounded(imov[None], px, py, halo),
+            fused_corr, exact_corr, (u, iref, imov),
+        )
+        if diffeomorphic:
+            c = expmap(c, maxabs_bug=maxabs_bug, halo=halo, use_pallas=True)
+        if diffeomorphic or accumulation == MotionAccumulation.COMPOSITION:
+            pxc, pyc = _sample_coords(c)
+            return lax.cond(
+                _displacement_bounded(u, pxc, pyc, halo),
+                fused_update, exact_update, (u, c),
+            )
+        return gaussian_smooth(u + c, sigma_diffusion, kernelwidth)
 
     return step

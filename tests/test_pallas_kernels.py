@@ -161,7 +161,12 @@ def test_demons_step_sharded_pallas_matches(rng):
 
     nx, ny = 128, 48
     iref, imov = make_pair(nx, ny, shift=(1.3, -0.9))
-    iref, imov = jnp.asarray(iref), jnp.asarray(imov)
+    # Texture keeps |grad I| non-degenerate: in flat regions the demons
+    # force denominator underflows and ulp-level warp differences (FMA
+    # contraction in the fused kernel) amplify to O(1e-2) forces.
+    xs = np.arange(nx)[:, None]; ys = np.arange(ny)[None, :]
+    tex = (0.1 * np.sin(xs / 4.0) * np.cos(ys / 3.0)).astype(np.float32)
+    iref, imov = jnp.asarray(iref + tex), jnp.asarray(imov + tex)
     u0 = jnp.asarray(
         np.clip(0.8 * rng.standard_normal((2, nx, ny)), -1.5, 1.5).astype(np.float32)
     )
@@ -211,3 +216,116 @@ def test_warp_pallas_strip_sharded_ragged(rng):
     with pltpu.force_tpu_interpret_mode():
         got = make_warp2d_sharded(mesh, halo=2, use_pallas=True)(img, u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_demons_fused_correspondence_matches_jnp(rng):
+    """Fused kernel A (warp+gradient+force+fluid smooth) vs the jnp chain."""
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.ops.conv import gaussian_smooth
+    from opticalflow2d_tpu.solvers.base import derivatives, demons_force
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas)
+
+    nx, ny = 64, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)) * 1.8)
+
+    iwar = warp2d(iaux, u)
+    c = demons_force(derivatives(iref, iwar), 1.0, 0.25)
+    want = gaussian_smooth(c, 2.0, 5)
+    with pltpu.force_tpu_interpret_mode():
+        got = demons_correspondence_pallas(iaux, iref, u, 1.0, 0.25, 2.0, 5,
+                                           halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [5, 7])
+def test_demons_fused_compose_smooth_matches_jnp(kw, rng):
+    """Fused kernel B (compose + diffusion smooth) vs the jnp chain."""
+    from opticalflow2d_tpu.ops.warp import compose
+    from opticalflow2d_tpu.ops.conv import gaussian_smooth
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        compose_smooth_pallas, fused_supported)
+
+    assert fused_supported(2, kw)
+    nx, ny = 64, 48
+    u = jnp.asarray(
+        np.clip(2.0 * rng.standard_normal((2, nx, ny)), -4, 4).astype(np.float32))
+    c = jnp.asarray(
+        np.clip(1.0 * rng.standard_normal((2, nx, ny)), -1.9, 1.9).astype(np.float32))
+    want = gaussian_smooth(compose(u, c), 2.0, kw)
+    with pltpu.force_tpu_interpret_mode():
+        got = compose_smooth_pallas(u, c, 2.0, kw, halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_demons_fused_ragged_rows(rng):
+    """Non-8-divisible row counts go through the pad-to-8 path."""
+    from opticalflow2d_tpu.ops.warp import warp2d
+    from opticalflow2d_tpu.ops.conv import gaussian_smooth
+    from opticalflow2d_tpu.solvers.base import derivatives, demons_force
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas)
+
+    nx, ny = 60, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)))
+
+    iwar = warp2d(iaux, u)
+    c = demons_force(derivatives(iref, iwar), 1.0, 0.25)
+    want = gaussian_smooth(c, 2.0, 5)
+    with pltpu.force_tpu_interpret_mode():
+        got = demons_correspondence_pallas(iaux, iref, u, 1.0, 0.25, 2.0, 5,
+                                           halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method_kw", [
+    dict(diffeomorphic=False), dict(diffeomorphic=True)],
+    ids=["thirions", "diffeo"])
+def test_demons_fused_step_matches_unfused(method_kw, rng):
+    """The full fused demons step (2 Pallas kernels + fallback conds) vs the
+    unfused jnp step, iterated."""
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    nx, ny = 48, 40
+    iref, imov = make_pair(nx, ny, shift=(1.3, -0.8))
+    iref, imov = jnp.asarray(iref), jnp.asarray(imov)
+    base = dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+                sigma_fluid=2.0, kernelwidth=5, warp_halo=2, **method_kw)
+    step_jnp = make_demons_step(use_pallas=False, **base)
+    step_fused = make_demons_step(use_pallas=True, **base)
+
+    u_a = jnp.zeros((2, nx, ny))
+    u_b = jnp.zeros((2, nx, ny))
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(4):
+            u_a = step_fused(u_a, iref, imov)
+            u_b = step_jnp(u_b, iref, imov)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_register_demons_fused_full_registration():
+    """Full demons registration routed through the fused kernels equals the
+    jnp driver."""
+    from opticalflow2d_tpu import register, RegConfig, Method
+
+    iref, imov = make_pair(32, 32, shift=(1.0, -0.5))
+    base = RegConfig(method=Method.THIRIONS_DEMONS, niter=(6, 4), nscales=1,
+                     warp_halo=2, warp_halo_outer=2)
+    pal = RegConfig(method=Method.THIRIONS_DEMONS, niter=(6, 4), nscales=1,
+                    warp_halo=2, warp_halo_outer=2, use_pallas=True)
+    want = register(iref, imov, base)
+    with pltpu.force_tpu_interpret_mode():
+        got = register(iref, imov, pal)
+    assert [int(t.iterations) for t in got.traces] == [
+        int(t.iterations) for t in want.traces]
+    np.testing.assert_allclose(
+        np.asarray(got.motion), np.asarray(want.motion), rtol=1e-4, atol=1e-5
+    )
