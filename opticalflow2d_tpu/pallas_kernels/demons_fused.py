@@ -250,11 +250,15 @@ def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
     )
 
 
-def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int) -> int:
-    """Row-tile size: VMEM budget for the cached lane rolls (see
-    warp_fused), 8-aligned, dividing nx."""
-    budget_rows = int(1.2e6 / ((2 * halo + 2) * nc_chain * ny * 4)) - 2 * _PAD
-    tb = max(8, min(64, (budget_rows // 8) * 8))
+def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int, tb: int = 0) -> int:
+    """Row-tile size: VMEM budget for the cached lane rolls (measured on
+    v5e: the 1-channel chain runs fastest at tb=64, the 2-channel at
+    tb=32 — ~2x the old 1.2 MB heuristic), 8-aligned, dividing nx. An
+    explicit ``tb`` is validated the same way (an unvalidated non-divisor
+    would leave output rows unwritten)."""
+    if tb <= 0:
+        budget_rows = int(2.6e6 / ((2 * halo + 2) * nc_chain * ny * 4)) - 2 * _PAD
+        tb = max(8, min(64, (budget_rows // 8) * 8))
     if nx % tb != 0 or tb % 8 != 0:
         start = min(tb if tb % 8 == 0 else 64, nx)
         tb = 8
@@ -310,8 +314,7 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
         iref = jnp.pad(iref, ((0, extra), (0, 0)))
         u = jnp.pad(u, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    if tb <= 0:
-        tb = _pick_tb(nx, ny, 1, halo)
+    tb = _pick_tb(nx, ny, 1, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
@@ -384,8 +387,7 @@ def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
         u_total = jnp.pad(u_total, ((0, 0), (0, extra), (0, 0)))
         c_inc = jnp.pad(c_inc, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    if tb <= 0:
-        tb = _pick_tb(nx, ny, 2, halo)
+    tb = _pick_tb(nx, ny, 2, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 

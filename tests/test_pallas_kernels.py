@@ -329,3 +329,31 @@ def test_register_demons_fused_full_registration():
     np.testing.assert_allclose(
         np.asarray(got.motion), np.asarray(want.motion), rtol=1e-4, atol=1e-5
     )
+
+
+def test_register_sp_thirions_fused_pallas_matches():
+    """Complete explicit-SP pyramid with use_pallas (fused strip demons
+    kernels) vs the jnp SP path, 8-device CPU mesh, interpret mode."""
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    nx, ny = 64, 48
+    iref, imov = make_pair(nx, ny, shift=(1.2, -0.7))
+    xs = np.arange(nx)[:, None]; ys = np.arange(ny)[None, :]
+    tex = (0.1 * np.sin(xs / 4.0) * np.cos(ys / 3.0)).astype(np.float32)
+    iref, imov = iref + tex, imov + tex
+    mesh = make_mesh(data=1, x=4)
+    kw = dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+              sigma_fluid=2.0, kernelwidth=5)
+
+    want, it_w = make_register_sp(mesh, "thirions", niter=[4, 3], nscales=1,
+                                  halo=2, **kw)(jnp.asarray(iref),
+                                                jnp.asarray(imov))
+    with pltpu.force_tpu_interpret_mode():
+        got, it_g = make_register_sp(mesh, "thirions", niter=[4, 3],
+                                     nscales=1, halo=2, use_pallas=True,
+                                     **kw)(jnp.asarray(iref),
+                                           jnp.asarray(imov))
+    assert list(np.asarray(it_g)) == list(np.asarray(it_w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
