@@ -34,14 +34,15 @@ def _mm(a, b):
 
 def make_curvature_step_sharded(
     mesh: Mesh, nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32,
-    precision=lax.Precision.HIGHEST,
+    precision=lax.Precision.HIGH,
 ):
     """Build the curvature update for ``u [2, nx, ny]`` sharded as
     ``P(None, 'x', None)``. Numerically equivalent to the serial
     ``make_curvature_step`` (same transform matrices, same normalization);
     the DCT body is ``parallel.spatial._curvature_solve_strip``.
-    ``precision``: HIGHEST (parity default) or HIGH (the production 3-pass
-    MXU variant, matching the serial ``dct_impl="matmul_high"``)."""
+    ``precision``: HIGH (default — matches the serial production
+    ``dct_impl="auto"`` -> ``matmul_high`` resolution) or HIGHEST (the
+    parity-grade 6-pass transform, matching ``dct_impl="matmul"``)."""
     n_x = mesh.shape["x"]
     if nx % n_x != 0 or ny % n_x != 0:
         raise ValueError(

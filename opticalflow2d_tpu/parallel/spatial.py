@@ -520,9 +520,11 @@ def _curvature_step_strip(u_est, grad_i, it_img, p: dict, nx_g: int,
     inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
     f = grad_i * inner[None]
     rhs = u_est - p.get("tau", 1.0) * f
+    # Default HIGH: matches the serial driver's production dct_impl="auto"
+    # resolution, so SP-vs-serial comparisons stay precision-consistent.
     return _curvature_solve_strip(
         rhs, nx_g, ny_g, p["alpha"], p.get("tau", 1.0), axis_name,
-        p.get("dct_precision", lax.Precision.HIGHEST),
+        p.get("dct_precision", lax.Precision.HIGH),
     )
 
 
@@ -829,7 +831,7 @@ def make_variational_level_sharded(
     convergence_tol: float = 0.001,
     reference_stencil: bool = True,
     grid_shape=None,
-    dct_precision=lax.Precision.HIGHEST,
+    dct_precision=lax.Precision.HIGH,
 ):
     """A full variational LEVEL solve (``method`` in {"diffusion",
     "elastic", "curvature"}) as one explicit shard_map program: derivatives
@@ -840,9 +842,10 @@ def make_variational_level_sharded(
     with every collective explicit.
 
     Curvature extra kwargs: ``tau`` (uses ``alpha`` as the regularisation
-    weight) and ``dct_precision`` (HIGHEST = parity default; HIGH = the
-    production 3-pass MXU variant); requires ny divisible by the mesh
-    x-axis size.
+    weight) and ``dct_precision`` (HIGH default = the production 3-pass
+    MXU variant matching the serial ``dct_impl="auto"`` resolution;
+    HIGHEST = parity grade); requires ny divisible by the mesh x-axis
+    size.
 
     Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations)``.
     """

@@ -192,6 +192,21 @@ def make_dirichlet_navier_lame_solver(
     from jax import lax
 
     if inner_iters <= 0:
+        if reference_stencil and lam > 4 * mu:
+            # The documented ill-conditioned corner: CG with the
+            # sine-diagonal preconditioner stalls around 1e-1 residual for
+            # the asymmetric stencil once lam dominates mu, and this API
+            # promises the exact fixed point. Refuse rather than silently
+            # return a ~10%-wrong "exact" solve; the caller can opt in with
+            # an explicit inner_iters, switch to the symmetric stencil
+            # (reference_stencil=False), or use the SOR path.
+            raise ValueError(
+                f"spectral_dirichlet with the reference (asymmetric) stencil "
+                f"is ill-conditioned for lam ({lam}) > 4*mu ({mu}): the "
+                f"preconditioned CG does not reach solve accuracy. Use "
+                f"reference_stencil=False, the SOR solver, or pass an "
+                f"explicit inner_iters to accept partial convergence."
+            )
         inner_iters = 12 if lam <= mu else 32
     if precision is None:
         precision = lax.Precision.HIGHEST

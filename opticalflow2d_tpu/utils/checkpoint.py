@@ -28,10 +28,28 @@ def _cfg_fingerprint(cfg) -> str:
     d = dataclasses.asdict(cfg)
     d["method"] = int(cfg.method)
     d["accumulation"] = int(cfg.accumulation)
+    # Logging-only knobs must not invalidate checkpoints (and keep round-1
+    # fingerprints, which predate the field, loadable).
+    d.pop("verbose_stream", None)
     return json.dumps(d, sort_keys=True, default=str)
 
 
-def save_checkpoint(path: str, motion, cfg, level: Optional[int] = None) -> None:
+def _inputs_fingerprint(iref, imov) -> str:
+    """Content hash of the image pair — a checkpoint is only a valid resume
+    point for the registration of the SAME inputs."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in (iref, imov):
+        a = np.ascontiguousarray(np.asarray(a))
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def save_checkpoint(path: str, motion, cfg, level: Optional[int] = None,
+                    inputs_fp: str = "") -> None:
     """Write a checkpoint (atomically: temp + rename)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
@@ -40,20 +58,28 @@ def save_checkpoint(path: str, motion, cfg, level: Optional[int] = None) -> None
         motion=np.asarray(motion),
         config=_cfg_fingerprint(cfg),
         level=-1 if level is None else int(level),
+        inputs=inputs_fp,
     )
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, cfg=None) -> Tuple[np.ndarray, int]:
-    """Load (motion, level). If ``cfg`` is given, mismatched fingerprints
-    raise — resuming under a different config silently changes results."""
+def load_checkpoint(path: str, cfg=None, inputs_fp: str = "") -> Tuple[np.ndarray, int]:
+    """Load (motion, level). If ``cfg`` is given, mismatched config
+    fingerprints raise; if ``inputs_fp`` is given and the checkpoint
+    recorded one, mismatched image pairs raise — resuming a different
+    registration silently produces wrong results otherwise."""
     with np.load(path, allow_pickle=False) as z:
         motion = z["motion"]
         stored = str(z["config"])
         level = int(z["level"])
+        stored_inputs = str(z["inputs"]) if "inputs" in z else ""
     if cfg is not None and stored != _cfg_fingerprint(cfg):
         raise ValueError(
             "checkpoint was written under a different RegConfig; refusing to resume"
+        )
+    if inputs_fp and stored_inputs and stored_inputs != inputs_fp:
+        raise ValueError(
+            "checkpoint was written for a different image pair; refusing to resume"
         )
     return motion, level
 
@@ -81,10 +107,11 @@ def register_resumable(iref, imov, cfg, path: str, _crash_after_scale=None):
 
     import jax.numpy as jnp
 
+    inputs_fp = _inputs_fingerprint(iref, imov)
     start = cfg.nscales
     u0 = None
     if os.path.exists(path):
-        motion, last_done = load_checkpoint(path, cfg)
+        motion, last_done = load_checkpoint(path, cfg, inputs_fp)
         if last_done == 0:
             return RegistrationResult(motion=jnp.asarray(motion), traces=())
         u0 = motion
@@ -99,7 +126,7 @@ def register_resumable(iref, imov, cfg, path: str, _crash_after_scale=None):
         )
         u0 = np.asarray(res.motion)
         traces.extend(res.traces)
-        save_checkpoint(path, u0, cfg, level=s)
+        save_checkpoint(path, u0, cfg, level=s, inputs_fp=inputs_fp)
         if _crash_after_scale is not None and s == _crash_after_scale:
             return None
     return RegistrationResult(motion=jnp.asarray(u0), traces=tuple(traces))

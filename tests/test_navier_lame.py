@@ -227,3 +227,20 @@ def test_fluid_spectral_dirichlet_converged_parity_vs_oracle():
     ssd_oracle = ((np.asarray(iref, np.float64) - war_ref) ** 2).sum()
     assert ssd_ours < 0.2 * ssd0
     assert ssd_ours < 1.25 * ssd_oracle + 1e-3
+
+
+def test_dirichlet_solver_refuses_ill_conditioned_corner():
+    """reference-stencil + lam >> mu is the documented stall corner: the
+    builder must refuse rather than silently return a ~10%-wrong 'exact'
+    solve. Explicit inner_iters or the symmetric stencil opt in/out."""
+    from opticalflow2d_tpu.solvers.navier_lame import (
+        make_dirichlet_navier_lame_solver)
+
+    with pytest.raises(ValueError, match="ill-conditioned"):
+        make_dirichlet_navier_lame_solver(32, 32, 0.05, 1.0,
+                                          reference_stencil=True)
+    # Opt-outs still build.
+    make_dirichlet_navier_lame_solver(32, 32, 0.05, 1.0,
+                                      reference_stencil=True, inner_iters=64)
+    make_dirichlet_navier_lame_solver(32, 32, 0.05, 1.0,
+                                      reference_stencil=False)

@@ -101,6 +101,34 @@ def test_register_resumable_crash_resume_bitwise(tmp_path, rng):
     )
 
 
+def test_register_resumable_rejects_different_pair(tmp_path, rng):
+    """A checkpoint is only a resume point for the SAME image pair."""
+    from opticalflow2d_tpu.utils.checkpoint import register_resumable
+
+    a_ref = rng.random((24, 20)).astype(np.float32)
+    a_mov = rng.random((24, 20)).astype(np.float32)
+    b_ref = rng.random((24, 20)).astype(np.float32)
+    b_mov = rng.random((24, 20)).astype(np.float32)
+    cfg = RegConfig(method=Method.DIFFUSION, niter=(3, 2), nscales=1,
+                    alpha=0.5, warp_halo=0, warp_halo_outer=0)
+    path = os.path.join(tmp_path, "pair.npz")
+    register_resumable(a_ref, a_mov, cfg, path)
+    with pytest.raises(ValueError, match="different image pair"):
+        register_resumable(b_ref, b_mov, cfg, path)
+
+
+def test_checkpoint_fingerprint_ignores_verbose_stream(tmp_path, rng):
+    """Logging-only knobs must not invalidate checkpoints."""
+    u = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    quiet = RegConfig(method=Method.DIFFUSION, niter=(3,), alpha=0.5)
+    loud = RegConfig(method=Method.DIFFUSION, niter=(3,), alpha=0.5,
+                     verbose_stream=True)
+    path = os.path.join(tmp_path, "v.npz")
+    save_checkpoint(path, u, quiet, level=0)
+    u2, _ = load_checkpoint(path, loud)  # must not raise
+    np.testing.assert_array_equal(u, u2)
+
+
 def test_register_start_stop_scale_splits_bitwise(rng):
     """register(start_scale=s, stop_scale=s) chained over levels equals the
     monolithic pyramid."""
