@@ -137,10 +137,12 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
         orig = jnp.pad(orig, ((0, 0), (0, extra), (0, 0)))
         nx += extra
     if tb <= 0:
-        # Keep cached lane rolls within ~1.2 MB of VMEM (the Mosaic scoped
-        # stack also holds the select-chain intermediates; measured 2.5 MB
-        # OOMs for 2-channel compose at halo 6).
-        budget_rows = int(1.2e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
+        # Keep cached lane rolls within ~2.6 MB of VMEM (round-2 sweep on
+        # v5e: this is the measured optimum for the demons_fused kernels —
+        # tb 8->32 cut the 2-channel compose+smooth 26%; 2.5 MB+ scratch
+        # OOM'd only for the halo-6 2-channel case, which the cap below
+        # still keeps small).
+        budget_rows = int(2.6e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
         tb = max(8, min(64, (budget_rows // 8) * 8))
     if nx % tb != 0 or tb % 8 != 0:
         start = min(tb if tb % 8 == 0 else 64, nx)

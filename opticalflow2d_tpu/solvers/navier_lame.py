@@ -209,7 +209,11 @@ def make_dirichlet_navier_lame_solver(
             )
         inner_iters = 12 if lam <= mu else 32
     if precision is None:
-        precision = lax.Precision.HIGHEST
+        # HIGH: the preconditioner's matmul precision barely affects the
+        # converged residual (CG self-corrects against the f32 stencil
+        # operator); measured on v5e @1024^2: 4.1 ms vs 7.2 ms at HIGHEST
+        # with equal 1e-5 relative error.
+        precision = lax.Precision.HIGH
     mx, my = nx - 2, ny - 2
     if mx < 1 or my < 1:
         raise ValueError("grid too small for an interior Dirichlet solve")
