@@ -1,0 +1,174 @@
+"""Temporal-blocked Horn-Schunck diffusion: k Jacobi iterations per HBM pass.
+
+The single-step kernel (``diffusion_fused.py``) already sits at the HBM
+roofline (~28 B touched per pixel-iteration), so the only way to go faster
+is to touch HBM *less*: this kernel streams a row block plus a ``pad``-row
+halo into VMEM, runs ``k`` full update iterations on-chip (the dependence
+cone of a radius-1 stencil grows one row per iteration, so ``pad >= k``
+keeps the interior exact), and writes the interior back once.  HBM traffic
+drops from ``28 B`` to roughly ``(5*E/tb + 2) * 4 / k`` bytes per
+pixel-iteration (E = tb + 2*pad), i.e. ~7-14x less for k = 8-16.
+
+The math per iteration is the same op-for-op sequence as
+``diffusion_fused._diffusion_kernel`` (reference semantics:
+``src/regularization/OpticalFlow/OpticalFlowDiffusion.cpp:43-84`` with the
+zero-border quasi-laplacian of ``src/gradients.h:72-80``), so the interior
+result is bit-identical to ``k`` calls of ``diffusion_step_pallas``.
+
+Convergence accounting: the reference Logger gates on the *mean per-pixel
+magnitude* of the step (``src/Motion.cpp:42-49`` via ``Logger.cpp:30-60``).
+With ``with_errors=True`` the kernel also emits, per iteration, the block's
+partial sums of ``|u_t - u_{t-1}|`` and ``|u_{t-1}|`` magnitudes over its
+interior rows, so the caller can reconstruct every per-iteration relative
+error exactly (up to partial-sum association order) while still paying for
+only one HBM pass per k iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def stack_derivs(grad_i: jnp.ndarray, it_img: jnp.ndarray) -> jnp.ndarray:
+    """Pack (gx, gy, It) into one ``[3, nx, ny]`` array so the kernel loads
+    force terms (and their halos) through a single blocked pipeline. Build
+    this once per refinement — it is loop-invariant."""
+    return jnp.concatenate([grad_i, it_img[None]], axis=0)
+
+
+def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
+                  out_ref, err_ref, *, alpha: float, k: int, tb: int,
+                  pad: int, nx: int, with_errors: bool):
+    i = pl.program_id(0)
+    e = tb + 2 * pad
+
+    # Extended tile: pad halo rows above + center + pad halo rows below.
+    # (Sublane-dim concat; Mosaic only rejects lane-dim concat.)
+    c = jnp.concatenate(
+        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
+    )  # [2, e, ny]
+    g = jnp.concatenate(
+        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
+    )  # [3, e, ny]
+    ny = c.shape[-1]
+    gx, gy, it_img = g[0], g[1], g[2]
+    den = alpha * alpha + gx * gx + gy * gy
+
+    # Global-border mask over the extended tile. Rows with global index
+    # < 0 or >= nx only exist for the clamped edge blocks; they are never
+    # read into a valid row (the q of global rows 0 / nx-1 is zeroed, which
+    # cuts the dependence chain at the image border).
+    ri = lax.broadcasted_iota(jnp.int32, (e, ny), 0)
+    gi = ri + i * tb - pad
+    gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
+    border = (gi == 0) | (gi == nx - 1) | (gj == 0) | (gj == ny - 1)
+
+    for t in range(k):
+        # Same op order as diffusion_fused (bit-identical interiors): the
+        # row/lane roll wrap garbage lands either in the trapezoid rows
+        # already invalid at iteration t or in masked global borders.
+        x_up = pltpu.roll(c, 1, 1)
+        x_dn = pltpu.roll(c, e - 1, 1)
+        y_sum = pltpu.roll(c, 1, 2) + pltpu.roll(c, ny - 1, 2)
+        q = (x_up + x_dn + y_sum) * 0.25
+        q = jnp.where(border[None], 0.0, q)
+        inner = it_img + q[0] * gx + q[1] * gy
+        scale = inner / den
+        new0 = q[0] - gx * scale
+        new1 = q[1] - gy * scale
+        c_new = jnp.concatenate([new0[None], new1[None]], axis=0)
+        if with_errors:
+            prev_i = c[:, pad:pad + tb, :]
+            new_i = c_new[:, pad:pad + tb, :]
+            diff = new_i - prev_i
+            err_ref[0, t, 0] = jnp.sum(
+                jnp.sqrt(diff[0] ** 2 + diff[1] ** 2)
+            )
+            err_ref[0, t, 1] = jnp.sum(
+                jnp.sqrt(prev_i[0] ** 2 + prev_i[1] ** 2)
+            )
+        c = c_new
+
+    out_ref[:, :, :] = c[:, pad:pad + tb, :]
+
+
+def _pick_tiles(nx: int, k: int, tb: int | None):
+    """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
+    multiple of pad dividing nx. Returns None if no valid tiling exists."""
+    pad = ((k + 7) // 8) * 8
+    if tb is not None and nx % tb == 0 and tb % pad == 0:
+        return tb, pad
+    for cand in range(min(256, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0:
+            return cand, pad
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "k", "tb", "with_errors")
+)
+def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
+                           tb: int | None = None, with_errors: bool = True):
+    """Run ``k`` diffusion iterations in one fused HBM pass.
+
+    ``g`` is ``stack_derivs(grad_i, it)``. Returns ``(u_k, sums)`` where
+    ``sums`` is ``[k, 2]``: per-iteration image-wide sums of step magnitude
+    and previous-field magnitude (``None`` if ``with_errors=False``).
+    Relative error of iteration t is ``sums[t, 0] / sums[t, 1]`` (the
+    per-pixel means' ratio; the 1/N factors cancel).
+
+    Requires a valid tiling (see ``_pick_tiles``); callers should fall back
+    to the single-step kernel when this raises."""
+    _, nx, ny = u.shape
+    tiles = _pick_tiles(nx, k, tb)
+    if tiles is None:
+        raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
+    tb, pad = tiles
+    nblocks = nx // tb
+    r = tb // pad          # halo index stride, in pad-row blocks
+    last = nx // pad - 1   # last pad-block index
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec(
+                (2, pad, ny), lambda i: (0, jnp.maximum(i * r - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (2, pad, ny), lambda i: (0, jnp.minimum((i + 1) * r, last), 0)
+            ),
+            pl.BlockSpec((3, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec(
+                (3, pad, ny), lambda i: (0, jnp.maximum(i * r - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (3, pad, ny), lambda i: (0, jnp.minimum((i + 1) * r, last), 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, k, 2), lambda i: (i, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _block_kernel, alpha=alpha, k=k, tb=tb, pad=pad, nx=nx,
+        with_errors=with_errors,
+    )
+    u_k, partials = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, 2), u.dtype),
+        ],
+    )(u, u, u, g, g, g)
+    if not with_errors:
+        return u_k, None
+    return u_k, jnp.sum(partials, axis=0)
