@@ -146,6 +146,16 @@ class RegConfig:
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.
     use_pallas: bool = False
+    # Temporal block depth for the fused diffusion solver: with
+    # use_pallas=True, run this many Jacobi iterations per HBM pass
+    # (pallas_kernels/diffusion_block.py) instead of one. 1 disables
+    # blocking. Reference Logger stop semantics are preserved exactly —
+    # when convergence or the niter cap lands mid-block, the final partial
+    # block is recomputed with the single-step kernel, so results match
+    # the unblocked driver. Levels whose row count has no valid tiling
+    # (see diffusion_block._pick_tiles) and non-f32 dtypes fall back to
+    # the single-step kernel automatically.
+    pallas_block_k: int = 8
     # Stream per-iteration relative errors to the host console as they
     # happen (the reference Logger's verbose mode, src/Logger.cpp:62-79),
     # via jax.debug.callback. Costs a host sync per iteration — leave off

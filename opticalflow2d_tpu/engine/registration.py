@@ -102,11 +102,104 @@ def _make_navier_lame_spectral(cfg: RegConfig, nx: int, ny: int):
     return make_spectral_navier_lame_solver(nx, ny, cfg.mu, cfg.lam, cfg.jnp_dtype)
 
 
+def _print_block(scale, it, errs_blk, n_take):
+    for t in range(int(n_take)):
+        _print_iter(scale, int(it) + t, errs_blk[t])
+
+
+def _solve_level_blocked(u, iref, imov, cfg: RegConfig, niter: int,
+                         scale: int, k: int, block_fn, step_fn):
+    """Variational level driver over a temporal-blocked Pallas kernel:
+    ``k`` solver iterations per HBM pass (``pallas_kernels/*_block.py``),
+    ~k/2x less memory traffic than a roofline-bound single-step kernel.
+    The reference Logger's stop semantics (src/Logger.cpp:32-58) are
+    preserved exactly: the kernel emits per-iteration step/prev magnitude
+    sums, and when convergence or the niter cap lands mid-block the final
+    partial block is recomputed with ``step_fn``, so the returned field
+    and trace equal the unblocked driver's.
+
+    ``block_fn(u, g, d) -> (u_after_k, sums[k, 2])``;
+    ``step_fn(u, d) -> u`` is the bit-identical single step."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import stack_derivs
+
+    nb = -(-niter // k)
+    traces = []
+    for _refine in range(cfg.nrefine):
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
+        d = derivatives(iref, iaux)
+        g = stack_derivs(d.grad_i, d.it)
+
+        def cond(carry):
+            _, it, conv, _ = carry
+            return (it < niter) & ~conv
+
+        def body(carry):
+            u_est, it, conv, errs = carry
+            u_blk, sums = block_fn(u_est, g, d)
+            prev_norm = sums[:, 1]
+            errs_blk = jnp.where(
+                prev_norm == 0, 0.0,
+                sums[:, 0] / jnp.where(prev_norm == 0, 1.0, prev_norm),
+            )
+            its = it + jnp.arange(k, dtype=jnp.int32)
+            conv_vec = (errs_blk < cfg.convergence_tol) & (its > 1) & (its < niter)
+            any_conv = jnp.any(conv_vec)
+            t_conv = jnp.argmax(conv_vec).astype(jnp.int32)
+            n_take = jnp.where(
+                any_conv, t_conv + 1, jnp.minimum(niter - it, k)
+            ).astype(jnp.int32)
+
+            def recompute(u0):
+                return lax.fori_loop(
+                    0, n_take, lambda _, v: step_fn(v, d), u0
+                )
+
+            u_next = lax.cond(n_take < k, recompute, lambda _u: u_blk, u_est)
+            if cfg.verbose_stream:
+                jax.debug.callback(
+                    _print_block, jnp.int32(scale), it, errs_blk, n_take
+                )
+            keep = jnp.arange(k, dtype=jnp.int32) < n_take
+            errs = lax.dynamic_update_slice(
+                errs, jnp.where(keep, errs_blk, 0.0).astype(errs.dtype), (it,)
+            )
+            return (u_next, it + n_take, any_conv, errs)
+
+        u0 = jnp.zeros_like(u)
+        errs0 = jnp.zeros((nb * k,), u.dtype)
+        carry = (u0, jnp.int32(0), jnp.bool_(False), errs0)
+        u_est, it, _, errs = lax.while_loop(cond, body, carry)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
+        traces.append(LevelTrace(jnp.int32(scale), errs[:niter], it, jnp.int32(0)))
+    return u, traces
+
+
 def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     """Diffusion / Curvature / Elastic: derivatives once per refinement,
     update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
     nx, ny = iref.shape
+    blockable = (
+        cfg.use_pallas and cfg.pallas_block_k > 1
+        and cfg.jnp_dtype == jnp.float32
+    )
     if cfg.method == Method.DIFFUSION:
+        if blockable:
+            from opticalflow2d_tpu.pallas_kernels import diffusion_block
+
+            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None) is not None:
+                from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+                    diffusion_step_pallas,
+                )
+
+                return _solve_level_blocked(
+                    u, iref, imov, cfg, niter, scale, cfg.pallas_block_k,
+                    block_fn=lambda u_est, g, d: diffusion_block.diffusion_block_pallas(
+                        u_est, g, cfg.alpha, k=cfg.pallas_block_k
+                    ),
+                    step_fn=lambda v, d: diffusion_step_pallas(
+                        v, d.grad_i, d.it, cfg.alpha
+                    ),
+                )
         if cfg.use_pallas:
             # Fused Pallas kernel (TPU Mosaic; use
             # pltpu.force_tpu_interpret_mode() to trace it on CPU).
@@ -126,6 +219,21 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             )
         )
     elif cfg.method == Method.ELASTIC:
+        if blockable and cfg.navier_lame_solver == "sor" and cfg.sor_ordering == "redblack":
+            from opticalflow2d_tpu.pallas_kernels import elastic_block
+
+            if elastic_block._pick_tiles(nx, cfg.pallas_block_k, None) is not None:
+                ref_st = cfg.compat.elastic_stencil_reference
+                return _solve_level_blocked(
+                    u, iref, imov, cfg, niter, scale, cfg.pallas_block_k,
+                    block_fn=lambda u_est, g, d: elastic_block.elastic_block_pallas(
+                        u_est, g, cfg.mu, cfg.lam, cfg.omega, ref_st,
+                        k=cfg.pallas_block_k,
+                    ),
+                    step_fn=lambda v, d: elastic_step(
+                        v, d, cfg.mu, cfg.lam, cfg.omega, ref_st, "redblack"
+                    ),
+                )
         if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
             from opticalflow2d_tpu.solvers.base import lssd_force
 

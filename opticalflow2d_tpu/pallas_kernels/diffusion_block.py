@@ -43,8 +43,8 @@ def stack_derivs(grad_i: jnp.ndarray, it_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
-                  out_ref, err_ref, *, alpha: float, k: int, tb: int,
-                  pad: int, nx: int, with_errors: bool):
+                  out_ref, diff_ref, prev_ref, *, alpha: float, k: int,
+                  tb: int, pad: int, nx: int, with_errors: bool):
     i = pl.program_id(0)
     e = tb + 2 * pad
 
@@ -69,6 +69,15 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
     gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
     border = (gi == 0) | (gi == nx - 1) | (gj == 0) | (gj == ny - 1)
 
+    # Per-iteration error partials accumulate as LANE VECTORS (rows reduced
+    # in-kernel, lanes reduced by the caller): scalar SMEM stores inside the
+    # iteration loop serialize Mosaic's schedule (measured 59.8 vs 5.9
+    # us/iter at k=8), vector accumulation is ~free.
+    if with_errors:
+        acc_rows = lax.broadcasted_iota(jnp.int32, (k, ny), 0)
+        acc_diff = jnp.zeros((k, ny), c.dtype)
+        acc_prev = jnp.zeros((k, ny), c.dtype)
+
     for t in range(k):
         # Same op order as diffusion_fused (bit-identical interiors): the
         # row/lane roll wrap garbage lands either in the trapezoid rows
@@ -87,24 +96,29 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
             prev_i = c[:, pad:pad + tb, :]
             new_i = c_new[:, pad:pad + tb, :]
             diff = new_i - prev_i
-            err_ref[0, t, 0] = jnp.sum(
-                jnp.sqrt(diff[0] ** 2 + diff[1] ** 2)
-            )
-            err_ref[0, t, 1] = jnp.sum(
-                jnp.sqrt(prev_i[0] ** 2 + prev_i[1] ** 2)
-            )
+            dsum = jnp.sum(jnp.sqrt(diff[0] ** 2 + diff[1] ** 2),
+                           axis=0, keepdims=True)
+            psum = jnp.sum(jnp.sqrt(prev_i[0] ** 2 + prev_i[1] ** 2),
+                           axis=0, keepdims=True)
+            acc_diff = jnp.where(acc_rows == t, dsum, acc_diff)
+            acc_prev = jnp.where(acc_rows == t, psum, acc_prev)
         c = c_new
 
     out_ref[:, :, :] = c[:, pad:pad + tb, :]
+    if with_errors:
+        diff_ref[0, :, :] = acc_diff
+        prev_ref[0, :, :] = acc_prev
 
 
 def _pick_tiles(nx: int, k: int, tb: int | None):
     """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
-    multiple of pad dividing nx. Returns None if no valid tiling exists."""
+    multiple of pad dividing nx. Returns None if no valid tiling exists.
+    The auto cap is 128 rows: tb=256 at ny=1024 blows the 16M scoped-vmem
+    limit, and 128 measured fastest (5.9 us/iter at k=8) anyway."""
     pad = ((k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    for cand in range(min(256, nx), pad - 1, -pad):
+    for cand in range(min(128, nx), pad - 1, -pad):
         if nx % cand == 0 and cand % pad == 0:
             return cand, pad
     return None
@@ -154,21 +168,27 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
         ],
         out_specs=[
             pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
-            pl.BlockSpec((1, k, 2), lambda i: (i, 0, 0)),
+            # Per-iteration error partials as [k, ny] lane vectors per
+            # block; the lane reduction happens outside the kernel.
+            pl.BlockSpec((1, k, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, ny), lambda i: (i, 0, 0)),
         ],
     )
     kernel = functools.partial(
         _block_kernel, alpha=alpha, k=k, tb=tb, pad=pad, nx=nx,
         with_errors=with_errors,
     )
-    u_k, partials = pl.pallas_call(
+    u_k, diff_p, prev_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
-            jax.ShapeDtypeStruct((nblocks, k, 2), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
         ],
     )(u, u, u, g, g, g)
     if not with_errors:
         return u_k, None
-    return u_k, jnp.sum(partials, axis=0)
+    return u_k, jnp.stack(
+        [jnp.sum(diff_p, axis=(0, 2)), jnp.sum(prev_p, axis=(0, 2))], axis=-1
+    )

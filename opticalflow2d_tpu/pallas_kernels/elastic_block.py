@@ -1,0 +1,195 @@
+"""Temporal-blocked elastic (Navier-Lame red-black SOR) iterations.
+
+Same trick as ``diffusion_block.py``: stream a row block plus a halo into
+VMEM, run ``k`` full elastic iterations (pointwise L-SSD force + red/black
+half-sweeps, reference semantics ``src/regularization/OpticalFlow/
+OpticalFlowElastic.cpp:13-55`` via the red-black reordering of
+``solvers/elastic.py``) entirely on-chip, and write the interior back
+once. Each iteration's dependence cone grows two rows (one per colored
+half-sweep; the force is pointwise), so ``pad >= 2k`` keeps the interior
+exact. The per-iteration float math is op-for-op identical to
+``elastic_step(..., ordering="redblack")``, so interiors are bit-identical
+to ``k`` serial steps.
+
+Emits the same per-iteration (step magnitude, prev magnitude) partial sums
+as the diffusion block kernel so the driver reconstructs every Logger
+relative error exactly (``src/Logger.cpp:30-60`` semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
+                  out_ref, diff_ref, prev_ref, *, mu: float, lam: float,
+                  omega: float, reference_stencil: bool, k: int, tb: int,
+                  pad: int, nx: int, with_errors: bool):
+    i = pl.program_id(0)
+    e = tb + 2 * pad
+
+    c = jnp.concatenate(
+        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
+    )  # [2, e, ny]
+    g = jnp.concatenate(
+        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
+    )  # [3, e, ny]
+    ny = c.shape[-1]
+    gx, gy, it_img = g[0], g[1], g[2]
+    grad = g[:2]
+
+    ri = lax.broadcasted_iota(jnp.int32, (e, ny), 0)
+    gi = ri + i * tb - pad
+    gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
+    nyv = ny
+    interior = (gi >= 1) & (gi <= nx - 2) & (gj >= 1) & (gj <= nyv - 2)
+    red = (((gi + gj) % 2) == 0) & interior
+    black = (((gi + gj) % 2) == 1) & interior
+
+    inv_diag = omega / (-6.0 * mu - 2.0 * lam)
+
+    def candidate(x, b):
+        """SOR update value at every pixel — op-for-op the stacked form of
+        ``elastic._gs_candidate`` (roll wrap garbage lands only in rows
+        outside the iteration's valid trapezoid or in masked borders)."""
+        xm = pltpu.roll(x, 1, 1)        # value at i-1
+        xp = pltpu.roll(x, e - 1, 1)    # value at i+1
+        ym = pltpu.roll(x, 1, 2)        # value at j-1
+        yp = pltpu.roll(x, ny - 1, 2)   # value at j+1
+        lap4 = xp + xm + yp + ym
+        sw = pltpu.roll(x, 1, 0)        # channel swap (xo)
+        swm = pltpu.roll(sw, 1, 1)      # xo at i-1
+        swp = pltpu.roll(sw, e - 1, 1)  # xo at i+1
+        cross = 0.25 * (
+            pltpu.roll(swp, ny - 1, 2)   # (i+1, j+1)
+            - pltpu.roll(swm, ny - 1, 2)  # (i-1, j+1)
+            - pltpu.roll(swp, 1, 2)       # (i+1, j-1)
+            + pltpu.roll(swm, 1, 2)       # (i-1, j-1)
+        )
+        if reference_stencil:
+            second = xp + xm
+        else:
+            second = jnp.concatenate(
+                [(xp + xm)[0:1], (yp + ym)[1:2]], axis=0
+            )
+        num = b - mu * lap4 - (mu + lam) * (second + cross)
+        return (1.0 - omega) * x + inv_diag * num
+
+    # Vector error accumulation (see diffusion_block._block_kernel: scalar
+    # SMEM stores in the loop serialize the schedule).
+    if with_errors:
+        acc_rows = lax.broadcasted_iota(jnp.int32, (k, ny), 0)
+        acc_diff = jnp.zeros((k, ny), c.dtype)
+        acc_prev = jnp.zeros((k, ny), c.dtype)
+
+    for t in range(k):
+        # Pointwise L-SSD force (OpticalFlow.cpp:15-39) on the whole tile.
+        inner = it_img + c[0] * gx + c[1] * gy
+        b = grad * inner[None]
+        cand = candidate(c, b)
+        c_half = jnp.where(red[None], cand, c)
+        cand = candidate(c_half, b)
+        c_new = jnp.where(black[None], cand, c_half)
+        if with_errors:
+            prev_i = c[:, pad:pad + tb, :]
+            new_i = c_new[:, pad:pad + tb, :]
+            diff = new_i - prev_i
+            dsum = jnp.sum(jnp.sqrt(diff[0] ** 2 + diff[1] ** 2),
+                           axis=0, keepdims=True)
+            psum = jnp.sum(jnp.sqrt(prev_i[0] ** 2 + prev_i[1] ** 2),
+                           axis=0, keepdims=True)
+            acc_diff = jnp.where(acc_rows == t, dsum, acc_diff)
+            acc_prev = jnp.where(acc_rows == t, psum, acc_prev)
+        c = c_new
+
+    out_ref[:, :, :] = c[:, pad:pad + tb, :]
+    if with_errors:
+        diff_ref[0, :, :] = acc_diff
+        prev_ref[0, :, :] = acc_prev
+
+
+def _pick_tiles(nx: int, k: int, tb: int | None):
+    """Pick (tb, pad): the per-iteration cone is 2 rows (red + black
+    half-sweeps), so pad = 2k rounded up to the sublane tile (8); tb a
+    multiple of pad dividing nx. None if no valid tiling exists."""
+    pad = ((2 * k + 7) // 8) * 8
+    if tb is not None and nx % tb == 0 and tb % pad == 0:
+        return tb, pad
+    for cand in range(min(128, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0:
+            return cand, pad
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mu", "lam", "omega", "reference_stencil", "k", "tb",
+                     "with_errors"),
+)
+def elastic_block_pallas(u, g, mu: float, lam: float, omega: float,
+                         reference_stencil: bool = True, k: int = 4,
+                         tb: int | None = None, with_errors: bool = True):
+    """Run ``k`` elastic iterations in one fused HBM pass.
+
+    ``g`` is ``diffusion_block.stack_derivs(grad_i, it)``. Returns
+    ``(u_k, sums)`` with ``sums[t] = (sum |u_t - u_{t-1}|, sum |u_{t-1}|)``
+    over the whole field (``None`` when ``with_errors=False``). Callers
+    fall back to ``elastic_step`` when no valid tiling exists."""
+    _, nx, ny = u.shape
+    tiles = _pick_tiles(nx, k, tb)
+    if tiles is None:
+        raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
+    tb, pad = tiles
+    nblocks = nx // tb
+    r = tb // pad
+    last = nx // pad - 1
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec(
+                (2, pad, ny), lambda i: (0, jnp.maximum(i * r - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (2, pad, ny), lambda i: (0, jnp.minimum((i + 1) * r, last), 0)
+            ),
+            pl.BlockSpec((3, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec(
+                (3, pad, ny), lambda i: (0, jnp.maximum(i * r - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (3, pad, ny), lambda i: (0, jnp.minimum((i + 1) * r, last), 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, k, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, ny), lambda i: (i, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _block_kernel, mu=mu, lam=lam, omega=omega,
+        reference_stencil=reference_stencil, k=k, tb=tb, pad=pad, nx=nx,
+        with_errors=with_errors,
+    )
+    u_k, diff_p, prev_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
+        ],
+    )(u, u, u, g, g, g)
+    if not with_errors:
+        return u_k, None
+    return u_k, jnp.stack(
+        [jnp.sum(diff_p, axis=(0, 2)), jnp.sum(prev_p, axis=(0, 2))], axis=-1
+    )

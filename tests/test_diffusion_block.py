@@ -104,10 +104,63 @@ def test_block_zero_init_first_error_guard(rng):
     assert float(sums[1, 1]) > 0.0
 
 
+@pytest.mark.parametrize("niter,k", [
+    (12, 4),   # niter a block multiple
+    (10, 4),   # partial final block (niter cap mid-block)
+    (200, 8),  # early convergence fires mid-block
+])
+def test_register_blocked_matches_unblocked(niter, k):
+    """The blocked driver must reproduce the single-step Pallas driver's
+    motion, iteration count, and error trace exactly (partial final blocks
+    are recomputed with the single-step kernel)."""
+    from opticalflow2d_tpu import register, RegConfig, Method
+
+    iref, imov = make_pair(48, 40, shift=(1.5, -0.8))
+    base = RegConfig(method=Method.DIFFUSION, niter=(niter,), nscales=0,
+                     alpha=0.1, use_pallas=True, pallas_block_k=1)
+    blk = RegConfig(method=Method.DIFFUSION, niter=(niter,), nscales=0,
+                    alpha=0.1, use_pallas=True, pallas_block_k=k)
+    with pltpu.force_tpu_interpret_mode():
+        want = register(iref, imov, base)
+        got = register(iref, imov, blk)
+    assert int(got.traces[0].iterations) == int(want.traces[0].iterations)
+    np.testing.assert_allclose(
+        np.asarray(got.motion), np.asarray(want.motion), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.traces[0].errors), np.asarray(want.traces[0].errors),
+        rtol=1e-4, atol=1e-6
+    )
+    if niter == 200:  # sanity: the early stop actually fired mid-run
+        assert int(got.traces[0].iterations) < niter
+
+
+def test_register_blocked_pyramid_and_fallback():
+    """Pyramid run: levels with a valid tiling use the blocked kernel,
+    untileable row counts (44 rows with k=8 -> pad 8, no divisor) silently
+    fall back to the single-step path; results match the unblocked driver."""
+    from opticalflow2d_tpu import register, RegConfig, Method
+
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import _pick_tiles
+    assert _pick_tiles(44, 8, None) is None
+    iref, imov = make_pair(88, 64, shift=(1.5, -0.8))  # level 1: 44x32
+    base = RegConfig(method=Method.DIFFUSION, niter=(10, 8), nscales=1,
+                     alpha=0.1, use_pallas=True, pallas_block_k=1)
+    blk = RegConfig(method=Method.DIFFUSION, niter=(10, 8), nscales=1,
+                    alpha=0.1, use_pallas=True, pallas_block_k=8)
+    with pltpu.force_tpu_interpret_mode():
+        want = register(iref, imov, base)
+        got = register(iref, imov, blk)
+    np.testing.assert_allclose(
+        np.asarray(got.motion), np.asarray(want.motion), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_pick_tiles_and_invalid_raise():
-    assert _pick_tiles(1024, 8, None) == (256, 8)
+    assert _pick_tiles(1024, 8, None) == (128, 8)
     assert _pick_tiles(1024, 16, 128) == (128, 16)
-    assert _pick_tiles(1024, 9, None) == (256, 16)
+    assert _pick_tiles(1024, 9, None) == (128, 16)
+    assert _pick_tiles(1024, 8, 256) == (256, 8)  # explicit tb still allowed
     assert _pick_tiles(12, 8, None) is None  # 12 not divisible by 8
     with pytest.raises(ValueError):
         diffusion_block_pallas(
