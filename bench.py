@@ -60,17 +60,44 @@ def tpu_throughput() -> float:
 
     d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
 
+    # Hot update loop: the temporal-blocked Pallas kernel (k iterations
+    # per HBM pass, bit-identical interiors — see
+    # pallas_kernels/diffusion_block.py; 14.5 vs 25-28 us/iter measured on
+    # v5e @1024^2), falling back to the jnp step if unavailable.
+    BLOCK_K = 16
+    try:
+        from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+            diffusion_block_pallas, stack_derivs, _pick_tiles,
+        )
+
+        if _pick_tiles(NX, BLOCK_K, None) is None:
+            raise ValueError("no tiling")
+        g = stack_derivs(d.grad_i, d.it)
+
+        def step(u):
+            return diffusion_block_pallas(
+                u, g, 0.5, k=BLOCK_K, with_errors=False
+            )[0]
+
+        calls_per_iter = BLOCK_K
+    except Exception as e:  # pragma: no cover
+        print(f"bench: blocked kernel unavailable ({e}); jnp step",
+              file=sys.stderr)
+        from opticalflow2d_tpu.solvers.base import Derivatives
+
+        dd = Derivatives(d.grad_i, d.it)
+
+        def step(u):
+            return diffusion_step(u, dd, 0.5)
+
+        calls_per_iter = 1
+
     def make(iters):
         @jax.jit
         def run(u, grad_i, it_img):
-            from opticalflow2d_tpu.solvers.base import Derivatives
-
-            dd = Derivatives(grad_i, it_img)
-
-            def body(_, u):
-                return diffusion_step(u, dd, 0.5)
-
-            u = jax.lax.fori_loop(0, iters, body, u)
+            u = jax.lax.fori_loop(
+                0, iters // calls_per_iter, lambda _, v: step(v), u
+            )
             # Reduce to a scalar inside the program: forcing the scalar to
             # host is the only reliable execution barrier through the
             # remote-TPU tunnel (block_until_ready can return early).

@@ -28,20 +28,26 @@ def emit(**kw):
         f.write(json.dumps(kw) + "\n")
 
 
-def slope_time(fn, state, lo=20, hi=100, reps=2):
+def slope_time(fn, state, lo=1000, hi=5000, reps=3):
+    """Seconds per fn call. The work delta (hi-lo calls) must dwarf the
+    ~28 ms tunnel dispatch jitter — for ~10 us/iter kernels that means
+    thousands of calls, not tens (short deltas measure pure noise, even
+    negative slopes)."""
     @jax.jit
     def run(n, s):
         s = lax.fori_loop(0, n, lambda _, s: fn(s), s)
         return jnp.sum(s)
 
     float(run(lo, state)); float(run(hi, state))
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter(); float(run(lo, state)); t1 = time.perf_counter()
-        t2 = time.perf_counter(); float(run(hi, state)); t3 = time.perf_counter()
-        sec = ((t3 - t2) - (t1 - t0)) / (hi - lo)
-        best = sec if best is None else min(best, sec)
-    return best
+    t_lo = min(_timed(run, lo, state) for _ in range(reps))
+    t_hi = min(_timed(run, hi, state) for _ in range(reps))
+    return (t_hi - t_lo) / (hi - lo)
+
+
+def _timed(run, n, state):
+    t0 = time.perf_counter()
+    float(run(n, state))
+    return time.perf_counter() - t0
 
 
 def main():
@@ -101,7 +107,7 @@ def main():
             try:
                 fn = lambda u: diffusion_block_pallas(
                     u, g, alpha=alpha, k=k, tb=tb, with_errors=False)[0]
-                per = slope_time(fn, u0, lo=10, hi=50) / k
+                per = slope_time(fn, u0, lo=500, hi=2500) / k
                 emit(kind="bench", impl="block", k=k, tb=tb, errors=False,
                      us_per_iter=round(per * 1e6, 2),
                      gpix_s=round(nx * ny / per / 1e9, 1))
@@ -112,7 +118,7 @@ def main():
         try:
             fn = lambda u: diffusion_block_pallas(
                 u, g, alpha=alpha, k=k, tb=128, with_errors=True)[0]
-            per = slope_time(fn, u0, lo=10, hi=50) / k
+            per = slope_time(fn, u0, lo=500, hi=2500) / k
             emit(kind="bench", impl="block", k=k, tb=128, errors=True,
                  us_per_iter=round(per * 1e6, 2),
                  gpix_s=round(nx * ny / per / 1e9, 1))
@@ -145,14 +151,14 @@ def main():
     emit(kind="bench", impl="jnp_elastic_step", us=round(per * 1e6, 1),
          gpix_s=round(nx * ny / per / 1e9, 1))
 
-    for k in (4, 8):
-        for tb in (64, 128):
+    for k in (2, 4, 8):
+        for tb in (32, 64):
             for errs in (False, True):
                 try:
                     fn = lambda u: elastic_block_pallas(
                         u, g, MU, LAM, OMEGA, True, k=k, tb=tb,
                         with_errors=errs)[0]
-                    per = slope_time(fn, uz, lo=10, hi=50) / k
+                    per = slope_time(fn, uz, lo=300, hi=1500) / k
                     emit(kind="bench", impl="elastic_block", k=k, tb=tb,
                          errors=errs, us_per_iter=round(per * 1e6, 2),
                          gpix_s=round(nx * ny / per / 1e9, 1))

@@ -155,7 +155,16 @@ class RegConfig:
     # the unblocked driver. Levels whose row count has no valid tiling
     # (see diffusion_block._pick_tiles) and non-f32 dtypes fall back to
     # the single-step kernel automatically.
+    # Measured (v5e, 1024^2): diffusion 25.1 -> 20.0 us/iter with the
+    # Logger error sums on, 14.5 us without (the kernel is VPU-bound once
+    # HBM traffic amortizes away).
     pallas_block_k: int = 8
+    # Temporal blocking for the elastic SOR solver. Off by default for the
+    # serial driver: the elastic iteration is VPU-bound (24 rolls/iter),
+    # so removing its HBM traffic measured a wash on one chip (83.8 vs
+    # 82.1 us/iter at 1024^2). Worth enabling under SP drivers, where one
+    # pad-row halo exchange replaces k per-iteration exchanges.
+    pallas_block_elastic: bool = False
     # Stream per-iteration relative errors to the host console as they
     # happen (the reference Logger's verbose mode, src/Logger.cpp:62-79),
     # via jax.debug.callback. Costs a host sync per iteration — leave off

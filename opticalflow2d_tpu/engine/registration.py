@@ -219,7 +219,9 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             )
         )
     elif cfg.method == Method.ELASTIC:
-        if blockable and cfg.navier_lame_solver == "sor" and cfg.sor_ordering == "redblack":
+        if (blockable and cfg.pallas_block_elastic
+                and cfg.navier_lame_solver == "sor"
+                and cfg.sor_ordering == "redblack"):
             from opticalflow2d_tpu.pallas_kernels import elastic_block
 
             if elastic_block._pick_tiles(nx, cfg.pallas_block_k, None) is not None:

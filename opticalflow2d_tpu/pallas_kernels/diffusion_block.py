@@ -42,20 +42,13 @@ def stack_derivs(grad_i: jnp.ndarray, it_img: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([grad_i, it_img[None]], axis=0)
 
 
-def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
-                  out_ref, diff_ref, prev_ref, *, alpha: float, k: int,
-                  tb: int, pad: int, nx: int, with_errors: bool):
-    i = pl.program_id(0)
+def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, alpha: float,
+                k: int, tb: int, pad: int, nx: int, with_errors: bool):
+    """k diffusion iterations on one extended tile ``c [2, e, ny]`` with
+    force terms ``g [3, e, ny]``; ``gi0`` is the global row index of tile
+    row 0 (traced scalar ok). Writes the interior to ``out_ref`` and, with
+    errors on, per-iteration row-reduced partials to diff/prev refs."""
     e = tb + 2 * pad
-
-    # Extended tile: pad halo rows above + center + pad halo rows below.
-    # (Sublane-dim concat; Mosaic only rejects lane-dim concat.)
-    c = jnp.concatenate(
-        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
-    )  # [2, e, ny]
-    g = jnp.concatenate(
-        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
-    )  # [3, e, ny]
     ny = c.shape[-1]
     gx, gy, it_img = g[0], g[1], g[2]
     den = alpha * alpha + gx * gx + gy * gy
@@ -65,7 +58,7 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
     # read into a valid row (the q of global rows 0 / nx-1 is zeroed, which
     # cuts the dependence chain at the image border).
     ri = lax.broadcasted_iota(jnp.int32, (e, ny), 0)
-    gi = ri + i * tb - pad
+    gi = ri + gi0
     gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
     border = (gi == 0) | (gi == nx - 1) | (gj == 0) | (gj == ny - 1)
 
@@ -108,6 +101,50 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
     if with_errors:
         diff_ref[0, :, :] = acc_diff
         prev_ref[0, :, :] = acc_prev
+
+
+def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
+                  out_ref, diff_ref, prev_ref, *, alpha: float, k: int,
+                  tb: int, pad: int, nx: int, with_errors: bool):
+    i = pl.program_id(0)
+    # Extended tile: pad halo rows above + center + pad halo rows below.
+    # (Sublane-dim concat; Mosaic only rejects lane-dim concat.)
+    c = jnp.concatenate(
+        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
+    )  # [2, e, ny]
+    g = jnp.concatenate(
+        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
+    )  # [3, e, ny]
+    _block_body(c, g, i * tb - pad, out_ref, diff_ref, prev_ref,
+                alpha=alpha, k=k, tb=tb, pad=pad, nx=nx,
+                with_errors=with_errors)
+
+
+def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
+                  prev_ref, u_sc, g_sc, sem_u, sem_g, *, alpha: float,
+                  k: int, tb: int, pad: int, with_errors: bool):
+    """Strip-local variant (shard_map): the caller pre-pads the local strip
+    with ``pad`` exchanged halo rows per side, so the extended tile is one
+    aligned manual DMA (offset i*tb, 8-aligned) instead of three clamped
+    halo blocks; ``row0_ref`` scalar-prefetches the strip's global origin
+    for the border masks (same pattern as ``warp_fused``); the global x
+    extent rides along as the second prefetched scalar."""
+    i = pl.program_id(0)
+    e = tb + 2 * pad
+    dma_u = pltpu.make_async_copy(
+        u_pad_hbm.at[:, pl.ds(i * tb, e), :], u_sc, sem_u
+    )
+    dma_g = pltpu.make_async_copy(
+        g_pad_hbm.at[:, pl.ds(i * tb, e), :], g_sc, sem_g
+    )
+    dma_u.start()
+    dma_g.start()
+    dma_u.wait()
+    dma_g.wait()
+    gi0 = scal_ref[0] + i * tb - pad
+    _block_body(u_sc[:, :, :], g_sc[:, :, :], gi0, out_ref, diff_ref,
+                prev_ref, alpha=alpha, k=k, tb=tb, pad=pad,
+                nx=scal_ref[1], with_errors=with_errors)
 
 
 def _pick_tiles(nx: int, k: int, tb: int | None):
@@ -187,6 +224,86 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
             jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
         ],
     )(u, u, u, g, g, g)
+    if not with_errors:
+        return u_k, None
+    return u_k, jnp.stack(
+        [jnp.sum(diff_p, axis=(0, 2)), jnp.sum(prev_p, axis=(0, 2))], axis=-1
+    )
+
+
+def required_pad(k: int) -> int:
+    """Halo rows each side for k diffusion iterations (8-aligned)."""
+    return ((k + 7) // 8) * 8
+
+
+def _pick_tb_strip(nxl: int, tb: int | None):
+    """Strip tiling only needs 8 | tb | nxl (manual DMA has no pad-multiple
+    constraint). None if nxl has no 8-aligned divisor."""
+    if tb is not None and nxl % tb == 0 and tb % 8 == 0:
+        return tb
+    for cand in range(min(128, nxl), 7, -8):
+        if nxl % cand == 0:
+            return cand
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "k", "tb", "with_errors")
+)
+def diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha: float,
+                          k: int, tb: int | None = None,
+                          with_errors: bool = True):
+    """Strip-local blocked diffusion for shard_map drivers.
+
+    ``u_pad [2, nxl + 2*required_pad(k), ny]`` / ``g_pad [3, ...]`` carry
+    ``required_pad(k)`` exchanged halo rows per side (``parallel.spatial.
+    _halo_pad``); ``row0`` is the strip's global first-row index (traced
+    scalar). Returns ``(u_k [2, nxl, ny], sums [k, 2])`` — the interior is
+    bit-identical to ``k`` strip steps, sums are this strip's partials
+    (psum across strips to get the Logger errors)."""
+    pad = required_pad(k)
+    nc, nxp, ny = u_pad.shape
+    nxl = nxp - 2 * pad
+    tb = _pick_tb_strip(nxl, tb)
+    if tb is None:
+        raise ValueError(f"no valid strip tiling for nxl={nxl}")
+    nblocks = nxl // tb
+    e = tb + 2 * pad
+
+    scal = jnp.stack([jnp.asarray(row0, jnp.int32),
+                      jnp.asarray(nx_glob, jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+            pl.BlockSpec((1, k, ny), lambda i, _s: (i, 0, 0)),
+            pl.BlockSpec((1, k, ny), lambda i, _s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, ny), u_pad.dtype),
+            pltpu.VMEM((3, e, ny), g_pad.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _strip_kernel, alpha=alpha, k=k, tb=tb, pad=pad,
+        with_errors=with_errors,
+    )
+    u_k, diff_p, prev_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),
+        ],
+    )(scal, u_pad, g_pad)
     if not with_errors:
         return u_k, None
     return u_k, jnp.stack(

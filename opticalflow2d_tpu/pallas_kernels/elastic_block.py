@@ -27,28 +27,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
-                  out_ref, diff_ref, prev_ref, *, mu: float, lam: float,
-                  omega: float, reference_stencil: bool, k: int, tb: int,
-                  pad: int, nx: int, with_errors: bool):
-    i = pl.program_id(0)
+def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, mu: float,
+                lam: float, omega: float, reference_stencil: bool, k: int,
+                tb: int, pad: int, nx, with_errors: bool):
+    """k elastic iterations on one extended tile (see
+    diffusion_block._block_body for the tiling/validity contract); ``gi0``
+    is the global row index of tile row 0, ``nx`` the global x extent
+    (both may be traced for strip-local callers)."""
     e = tb + 2 * pad
-
-    c = jnp.concatenate(
-        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
-    )  # [2, e, ny]
-    g = jnp.concatenate(
-        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
-    )  # [3, e, ny]
     ny = c.shape[-1]
     gx, gy, it_img = g[0], g[1], g[2]
     grad = g[:2]
 
     ri = lax.broadcasted_iota(jnp.int32, (e, ny), 0)
-    gi = ri + i * tb - pad
+    gi = ri + gi0
     gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
-    nyv = ny
-    interior = (gi >= 1) & (gi <= nx - 2) & (gj >= 1) & (gj <= nyv - 2)
+    interior = (gi >= 1) & (gi <= nx - 2) & (gj >= 1) & (gj <= ny - 2)
     red = (((gi + gj) % 2) == 0) & interior
     black = (((gi + gj) % 2) == 1) & interior
 
@@ -114,6 +108,48 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
         prev_ref[0, :, :] = acc_prev
 
 
+def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
+                  out_ref, diff_ref, prev_ref, *, mu: float, lam: float,
+                  omega: float, reference_stencil: bool, k: int, tb: int,
+                  pad: int, nx: int, with_errors: bool):
+    i = pl.program_id(0)
+    c = jnp.concatenate(
+        [u_up_ref[:, :, :], u_c_ref[:, :, :], u_dn_ref[:, :, :]], axis=1
+    )  # [2, e, ny]
+    g = jnp.concatenate(
+        [g_up_ref[:, :, :], g_c_ref[:, :, :], g_dn_ref[:, :, :]], axis=1
+    )  # [3, e, ny]
+    _block_body(c, g, i * tb - pad, out_ref, diff_ref, prev_ref, mu=mu,
+                lam=lam, omega=omega, reference_stencil=reference_stencil,
+                k=k, tb=tb, pad=pad, nx=nx, with_errors=with_errors)
+
+
+def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
+                  prev_ref, u_sc, g_sc, sem_u, sem_g, *, mu: float,
+                  lam: float, omega: float, reference_stencil: bool,
+                  k: int, tb: int, pad: int, with_errors: bool):
+    """Strip-local variant (see diffusion_block._strip_kernel): manual-DMA
+    extended tiles from the pre-halo-padded strip; ``scal_ref`` prefetches
+    (strip global row origin, global x extent)."""
+    i = pl.program_id(0)
+    e = tb + 2 * pad
+    dma_u = pltpu.make_async_copy(
+        u_pad_hbm.at[:, pl.ds(i * tb, e), :], u_sc, sem_u
+    )
+    dma_g = pltpu.make_async_copy(
+        g_pad_hbm.at[:, pl.ds(i * tb, e), :], g_sc, sem_g
+    )
+    dma_u.start()
+    dma_g.start()
+    dma_u.wait()
+    dma_g.wait()
+    gi0 = scal_ref[0] + i * tb - pad
+    _block_body(u_sc[:, :, :], g_sc[:, :, :], gi0, out_ref, diff_ref,
+                prev_ref, mu=mu, lam=lam, omega=omega,
+                reference_stencil=reference_stencil, k=k, tb=tb, pad=pad,
+                nx=scal_ref[1], with_errors=with_errors)
+
+
 def _pick_tiles(nx: int, k: int, tb: int | None):
     """Pick (tb, pad): the per-iteration cone is 2 rows (red + black
     half-sweeps), so pad = 2k rounded up to the sublane tile (8); tb a
@@ -121,7 +157,9 @@ def _pick_tiles(nx: int, k: int, tb: int | None):
     pad = ((2 * k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    for cand in range(min(128, nx), pad - 1, -pad):
+    # Cap 64: the elastic kernel's candidate temporaries (24 rolls) blow
+    # the 16M scoped-vmem limit at tb=128/ny=1024 (measured: 21.85M).
+    for cand in range(min(64, nx), pad - 1, -pad):
         if nx % cand == 0 and cand % pad == 0:
             return cand, pad
     return None
@@ -188,6 +226,80 @@ def elastic_block_pallas(u, g, mu: float, lam: float, omega: float,
             jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
         ],
     )(u, u, u, g, g, g)
+    if not with_errors:
+        return u_k, None
+    return u_k, jnp.stack(
+        [jnp.sum(diff_p, axis=(0, 2)), jnp.sum(prev_p, axis=(0, 2))], axis=-1
+    )
+
+
+def required_pad(k: int) -> int:
+    """Halo rows each side for k elastic iterations (2 rows/iter cone,
+    8-aligned)."""
+    return ((2 * k + 7) // 8) * 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mu", "lam", "omega", "reference_stencil", "k", "tb",
+                     "with_errors"),
+)
+def elastic_block_strip(u_pad, g_pad, row0, nx_glob, mu: float, lam: float,
+                        omega: float, reference_stencil: bool = True,
+                        k: int = 4, tb: int | None = None,
+                        with_errors: bool = True):
+    """Strip-local blocked elastic for shard_map drivers (contract as in
+    ``diffusion_block.diffusion_block_strip``: ``required_pad(k)``
+    exchanged halo rows per side, traced ``row0``/``nx_glob`` scalars,
+    returns this strip's interior + per-iteration error partials)."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+        _pick_tb_strip,
+    )
+
+    pad = required_pad(k)
+    nc, nxp, ny = u_pad.shape
+    nxl = nxp - 2 * pad
+    tb = _pick_tb_strip(nxl, tb)
+    if tb is None:
+        raise ValueError(f"no valid strip tiling for nxl={nxl}")
+    nblocks = nxl // tb
+    e = tb + 2 * pad
+
+    scal = jnp.stack([jnp.asarray(row0, jnp.int32),
+                      jnp.asarray(nx_glob, jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+            pl.BlockSpec((1, k, ny), lambda i, _s: (i, 0, 0)),
+            pl.BlockSpec((1, k, ny), lambda i, _s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, ny), u_pad.dtype),
+            pltpu.VMEM((3, e, ny), g_pad.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _strip_kernel, mu=mu, lam=lam, omega=omega,
+        reference_stencil=reference_stencil, k=k, tb=tb, pad=pad,
+        with_errors=with_errors,
+    )
+    u_k, diff_p, prev_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),
+        ],
+    )(scal, u_pad, g_pad)
     if not with_errors:
         return u_k, None
     return u_k, jnp.stack(

@@ -597,6 +597,115 @@ def _fluid_level_strip(u, iref_l, imov_l, niter: int, halo: int, p: dict,
     return _compose_local(u_tot, u_est, halo, axis_name), it, nregrid
 
 
+def _diffusion_level_blocked_strip(u, grad_i, it_img, alpha: float,
+                                   niter: int, k: int, halo: int,
+                                   convergence_tol: float, axis_name: str):
+    """Diffusion level loop over the strip-local temporal-block kernel
+    (``pallas_kernels.diffusion_block.diffusion_block_strip``): one
+    ``pad``-row halo exchange + one HBM pass per ``k`` iterations instead
+    of per iteration — k-fold fewer ICI collectives AND k-fold less HBM
+    traffic. Logger stop semantics are exact: per-iteration error sums are
+    psum-reduced across strips, and a partial final block is recomputed
+    with the per-iteration strip step (same float sequence)."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+        diffusion_block_strip,
+        required_pad,
+        stack_derivs,
+    )
+
+    pad = required_pad(k)
+    g_pad = _halo_pad(stack_derivs(grad_i, it_img), pad, axis_name)
+    _, _, den = _diffusion_consts_strip(grad_i, it_img, alpha)
+
+    def block_call(u_pad, row0, nx_glob):
+        return diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha, k=k)
+
+    def step_call(v):
+        return _diffusion_step_strip(v, grad_i, it_img, den, axis_name)
+
+    return _level_blocked_strip(
+        u, niter, k, pad, halo, convergence_tol, axis_name,
+        block_call, step_call,
+    )
+
+
+def _elastic_level_blocked_strip(u, grad_i, it_img, p: dict, niter: int,
+                                 k: int, halo: int, convergence_tol: float,
+                                 axis_name: str):
+    """Elastic analog of ``_diffusion_level_blocked_strip`` (cone is 2
+    rows/iter). On one chip the elastic iteration is VPU-bound so blocking
+    is compute-neutral; the SP win is one pad-row halo exchange per k
+    iterations instead of k single-row exchanges."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import stack_derivs
+    from opticalflow2d_tpu.pallas_kernels.elastic_block import (
+        elastic_block_strip,
+        required_pad,
+    )
+
+    pad = required_pad(k)
+    g_pad = _halo_pad(stack_derivs(grad_i, it_img), pad, axis_name)
+    mu, lam, omega = p["mu"], p["lam"], p.get("omega", 0.66)
+    ref_st = bool(p.get("reference_stencil", True))
+
+    def block_call(u_pad, row0, nx_glob):
+        return elastic_block_strip(
+            u_pad, g_pad, row0, nx_glob, mu, lam, omega, ref_st, k=k
+        )
+
+    def step_call(v):
+        return _elastic_step_strip(v, grad_i, it_img, p, axis_name)
+
+    return _level_blocked_strip(
+        u, niter, k, pad, halo, convergence_tol, axis_name,
+        block_call, step_call,
+    )
+
+
+def _level_blocked_strip(u, niter: int, k: int, pad: int, halo: int,
+                         convergence_tol: float, axis_name: str,
+                         block_call, step_call):
+    """Shared strip-local blocked level loop: halo-pad, run the k-iteration
+    kernel, psum the per-iteration error partials, apply the exact Logger
+    gate, recompute a partial final block with the per-iteration step."""
+    nxl = u.shape[-2]
+    idx = lax.axis_index(axis_name)
+    n = lax.psum(1, axis_name)
+    row0 = idx * nxl
+    nx_glob = n * nxl
+
+    def cond(carry):
+        _, it, conv = carry
+        return (it < niter) & ~conv
+
+    def body(carry):
+        u_est, it, conv = carry
+        u_pad = _halo_pad(u_est, pad, axis_name)
+        u_blk, part = block_call(u_pad, row0, nx_glob)
+        sums = lax.psum(part, axis_name)
+        prev_norm = sums[:, 1]
+        errs_blk = jnp.where(
+            prev_norm == 0, 0.0,
+            sums[:, 0] / jnp.where(prev_norm == 0, 1.0, prev_norm),
+        )
+        its = it + jnp.arange(k, dtype=jnp.int32)
+        conv_vec = (errs_blk < convergence_tol) & (its > 1) & (its < niter)
+        any_conv = jnp.any(conv_vec)
+        t_conv = jnp.argmax(conv_vec).astype(jnp.int32)
+        n_take = jnp.where(
+            any_conv, t_conv + 1, jnp.minimum(niter - it, k)
+        ).astype(jnp.int32)
+
+        def recompute(u0):
+            return lax.fori_loop(0, n_take, lambda _, v: step_call(v), u0)
+
+        u_next = lax.cond(n_take < k, recompute, lambda _u: u_blk, u_est)
+        return (u_next, it + n_take, any_conv)
+
+    u0 = jnp.zeros_like(u)
+    u_est, it, _ = lax.while_loop(cond, body, (u0, jnp.int32(0), jnp.bool_(False)))
+    return _compose_local(u, u_est, halo, axis_name), it
+
+
 def _iterate_level_strip(one_step, u, niter: int, halo: int,
                          convergence_tol: float, axis_name: str):
     """Generic level loop on local strips: while_loop of ``one_step`` gated
@@ -645,11 +754,35 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
         grad_i = _gradient_local(iaux, "x")
         it_img = iaux - iref_l
         if family == "diffusion":
+            bk = int(p.get("block_k", 0))
+            if use_pallas and bk > 1 and iref_l.dtype == jnp.float32:
+                from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+                    _pick_tb_strip,
+                )
+
+                nxl = iref_l.shape[0]
+                if _pick_tb_strip(nxl, None) is not None:
+                    return _diffusion_level_blocked_strip(
+                        u, grad_i, it_img, p["alpha"], level_niter, bk,
+                        halo, convergence_tol, "x",
+                    )
             _, _, den = _diffusion_consts_strip(grad_i, it_img, p["alpha"])
 
             def one_step(u_est):
                 return _diffusion_step_strip(u_est, grad_i, it_img, den, "x")
         elif family == "elastic":
+            bk = int(p.get("block_k", 0))
+            if use_pallas and bk > 1 and iref_l.dtype == jnp.float32:
+                from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+                    _pick_tb_strip,
+                )
+
+                if _pick_tb_strip(iref_l.shape[0], None) is not None:
+                    return _elastic_level_blocked_strip(
+                        u, grad_i, it_img, p, level_niter, bk, halo,
+                        convergence_tol, "x",
+                    )
+
             def one_step(u_est):
                 return _elastic_step_strip(u_est, grad_i, it_img, p, "x")
         elif family == "curvature":

@@ -2,8 +2,13 @@
 (interpret mode on CPU; the same kernel compiles with Mosaic on TPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
+
+requires_8 = pytest.mark.skipif(
+    "len(jax.devices()) < 8", reason="needs 8 virtual devices"
+)
 
 from jax.experimental.pallas import tpu as pltpu
 
@@ -102,6 +107,69 @@ def test_block_zero_init_first_error_guard(rng):
         )
     assert float(sums[0, 1]) == 0.0
     assert float(sums[1, 1]) > 0.0
+
+
+def test_strip_kernel_matches_whole_image(rng):
+    """diffusion_block_strip on 4 strips (halo rows carved from the full
+    field, zeros beyond the global edge — what _halo_exchange_k provides)
+    must reproduce the whole-image blocked kernel exactly."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+        diffusion_block_strip, required_pad,
+    )
+
+    nx, ny, k, strips = 64, 48, 4, 4
+    u, d = _setup(nx, ny, rng)
+    g = stack_derivs(d.grad_i, d.it)
+    pad = required_pad(k)
+    nxl = nx // strips
+
+    with pltpu.force_tpu_interpret_mode():
+        want, want_sums = diffusion_block_pallas(u, g, alpha=0.5, k=k, tb=16)
+        up = jnp.pad(u, ((0, 0), (pad, pad), (0, 0)))
+        gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0)))
+        outs, sums = [], []
+        for s in range(strips):
+            r0 = s * nxl
+            o, sm = diffusion_block_strip(
+                up[:, r0:r0 + nxl + 2 * pad], gp[:, r0:r0 + nxl + 2 * pad],
+                r0, alpha=0.5, k=k, nx_glob=nx, tb=16,
+            )
+            outs.append(o)
+            sums.append(sm)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sum(sums)), np.asarray(want_sums), rtol=1e-5, atol=1e-4
+    )
+
+
+@requires_8
+def test_register_sp_blocked_diffusion_matches_serial():
+    """make_register_sp(diffusion, use_pallas + block_k) on the 8-device
+    CPU mesh (interpret mode) vs the serial driver: one pad-row halo
+    exchange per k iterations instead of per iteration."""
+    from opticalflow2d_tpu import register, RegConfig, Method
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+    solve = make_register_sp(mesh, "diffusion", niter=[8, 6], nscales=1,
+                             halo=4, use_pallas=True, block_k=4, alpha=0.5)
+    with pltpu.force_tpu_interpret_mode():
+        u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.DIFFUSION, alpha=0.5, niter=(8, 6),
+                    nscales=1, warp_halo=4, warp_halo_outer=4)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
 
 
 @pytest.mark.parametrize("niter,k", [

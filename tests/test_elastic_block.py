@@ -77,15 +77,46 @@ def test_block_error_sums_match_explicit(rng):
 
 
 def test_pick_tiles_cone_is_2k():
-    assert _pick_tiles(1024, 4, None) == (128, 8)
-    assert _pick_tiles(1024, 8, None) == (128, 16)
-    assert _pick_tiles(1024, 16, None) == (128, 32)
+    assert _pick_tiles(1024, 4, None) == (64, 8)
+    assert _pick_tiles(1024, 8, None) == (64, 16)
+    assert _pick_tiles(1024, 16, None) == (64, 32)
+    assert _pick_tiles(1024, 4, 128) == (128, 8)  # explicit tb still allowed
     assert _pick_tiles(44, 4, None) is None
     with pytest.raises(ValueError):
         elastic_block_pallas(
             jnp.zeros((2, 44, 40)), jnp.zeros((3, 44, 40)),
             MU, LAM, OMEGA, k=4
         )
+
+
+def test_register_sp_blocked_elastic_matches_serial():
+    """make_register_sp(elastic, use_pallas + block_k) on the 8-device CPU
+    mesh (interpret mode) vs the serial driver."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from opticalflow2d_tpu import register, RegConfig, Method
+    from opticalflow2d_tpu.parallel import make_mesh
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+    solve = make_register_sp(mesh, "elastic", niter=[8, 6], nscales=1,
+                             halo=4, use_pallas=True, block_k=2,
+                             mu=0.5, lam=0.0)
+    with pltpu.force_tpu_interpret_mode():
+        u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+
+    cfg = RegConfig(method=Method.ELASTIC, mu=0.5, lam=0.0, niter=(8, 6),
+                    nscales=1, warp_halo=4, warp_halo_outer=4)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_register_blocked_elastic_matches_unblocked():
@@ -97,7 +128,8 @@ def test_register_blocked_elastic_matches_unblocked():
     base = RegConfig(method=Method.ELASTIC, niter=(10,), nscales=0,
                      mu=MU, lam=LAM, use_pallas=True, pallas_block_k=1)
     blk = RegConfig(method=Method.ELASTIC, niter=(10,), nscales=0,
-                    mu=MU, lam=LAM, use_pallas=True, pallas_block_k=4)
+                    mu=MU, lam=LAM, use_pallas=True, pallas_block_k=4,
+                    pallas_block_elastic=True)
     with pltpu.force_tpu_interpret_mode():
         want = register(iref, imov, base)
         got = register(iref, imov, blk)
