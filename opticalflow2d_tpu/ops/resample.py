@@ -15,9 +15,10 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
-from opticalflow2d_tpu.ops.warp import _bilinear_gather
+from opticalflow2d_tpu.ops.warp import _bilinear_from_taps
 
 
 def pyramid_dims(dim0: Tuple[int, int], nscales: int):
@@ -40,12 +41,52 @@ def downsample_image(image: jnp.ndarray, dimout: Tuple[int, int]) -> jnp.ndarray
     return shaped.mean(axis=(-3, -1))
 
 
+def _onehot_rows(idx: jnp.ndarray, n_in: int, dtype) -> jnp.ndarray:
+    """``[n_out, n_in]`` selection matrix: row r is one-hot at ``idx[r]``."""
+    return (idx[:, None] == jnp.arange(n_in, dtype=idx.dtype)[None, :]).astype(
+        dtype
+    )
+
+
+def _taps_matmul_separable(data, dx, dy):
+    """The four bilinear taps via one-hot selection matmuls on the MXU.
+
+    Valid only for separable (axis-aligned) sample grids — ``dx`` constant
+    along axis 1 and ``dy`` constant along axis 0 — which is exactly the
+    upsample case. Bit-identical to ``_gather_taps_exact``: every output
+    element is a dot product of a one-hot row with the data, i.e. one exact
+    product (0 and 1 are exact in bf16, and HIGHEST precision reconstructs
+    f32 products exactly via the bf16x3 decomposition) summed with exact
+    zeros. Replaces the dynamic-gather path, which costs ~47 ms/call at
+    512->1024 on TPU vs <1 ms here (benchmarks/r3_results.jsonl).
+    """
+    nx, ny = data.shape[-2], data.shape[-1]
+    ix0 = jnp.clip(dx[:, 0], 0, nx - 1)
+    ix1 = jnp.clip(dx[:, 0] + 1, 0, nx - 1)
+    iy0 = jnp.clip(dy[0, :], 0, ny - 1)
+    iy1 = jnp.clip(dy[0, :] + 1, 0, ny - 1)
+    hp = jax.lax.Precision.HIGHEST
+    sx0 = _onehot_rows(ix0, nx, data.dtype)
+    sx1 = _onehot_rows(ix1, nx, data.dtype)
+    sy0t = _onehot_rows(iy0, ny, data.dtype).T
+    sy1t = _onehot_rows(iy1, ny, data.dtype).T
+    a0 = jnp.einsum("ik,...kl->...il", sx0, data, precision=hp)
+    a1 = jnp.einsum("ik,...kl->...il", sx1, data, precision=hp)
+    g00 = jnp.einsum("...il,lj->...ij", a0, sy0t, precision=hp)
+    g10 = jnp.einsum("...il,lj->...ij", a1, sy0t, precision=hp)
+    g01 = jnp.einsum("...il,lj->...ij", a0, sy1t, precision=hp)
+    g11 = jnp.einsum("...il,lj->...ij", a1, sy1t, precision=hp)
+    return g00, g10, g01, g11
+
+
 def upsample_image(image: jnp.ndarray, dimout: Tuple[int, int]) -> jnp.ndarray:
     """Origin-aligned bilinear upsample ``[C?, nx, ny] -> [C?, nx_out, ny_out]``.
 
     Sample point for output (i, j) is ``(i * nx_in / nx_out, j * ny_in / ny_out)``
     — note this is corner-anchored, not center-anchored, matching the
-    reference (``src/Field.tpp:172-173``).
+    reference (``src/Field.tpp:172-173``). The sample grid is static and
+    separable, so the taps are fetched with selection matmuls on the MXU
+    (``_taps_matmul_separable``) instead of a dynamic gather.
     """
     nx_in, ny_in = image.shape[-2], image.shape[-1]
     nx_out, ny_out = dimout
@@ -59,7 +100,7 @@ def upsample_image(image: jnp.ndarray, dimout: Tuple[int, int]) -> jnp.ndarray:
 
     squeeze = image.ndim == 2
     data = image[None] if squeeze else image
-    value, weight, _ = _bilinear_gather(data, px, py)
+    value, weight, _ = _bilinear_from_taps(data, px, py, _taps_matmul_separable)
     out = value / jnp.where(weight != 0, weight, 1.0)
     return out[0] if squeeze else out
 

@@ -51,6 +51,28 @@ def test_upsample_odd_target(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dims", [((10, 8), (20, 16)), ((10, 8), (21, 17)),
+                                  ((13, 13), (26, 27)), ((32, 24), (32, 24))])
+def test_upsample_matmul_taps_bit_exact_vs_gather(rng, dims):
+    """The MXU selection-matmul tap path must be bit-identical to the
+    dynamic exact-gather path it replaced."""
+    from opticalflow2d_tpu.ops.warp import _bilinear_from_taps, _gather_taps_exact
+
+    (nx_in, ny_in), (nx_out, ny_out) = dims
+    f = rng.standard_normal((2, nx_in, ny_in)).astype(np.float32)
+    got = np.asarray(upsample_image(jnp.asarray(f), (nx_out, ny_out)))
+
+    dtype = jnp.float32
+    i = jnp.arange(nx_out, dtype=dtype)[:, None]
+    j = jnp.arange(ny_out, dtype=dtype)[None, :]
+    px = jnp.broadcast_to(i * (nx_in / nx_out), (nx_out, ny_out))
+    py = jnp.broadcast_to(j * (ny_in / ny_out), (nx_out, ny_out))
+    value, weight, _ = _bilinear_from_taps(jnp.asarray(f), px, py,
+                                           _gather_taps_exact)
+    want = np.asarray(value / jnp.where(weight != 0, weight, 1.0))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_motion_resample_rescales_components(rng):
     u = rng.standard_normal((2, 16, 12)).astype(np.float32)
     down = np.asarray(downsample_motion(jnp.asarray(u), (8, 6)))
