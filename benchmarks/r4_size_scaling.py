@@ -1,0 +1,101 @@
+"""Round-4 size-scaling study on one chip: do the hot kernels hold their
+per-pixel cost as the grid grows past 1024^2 (the size every earlier table
+used)? Covers the headline blocked-diffusion kernel, the fused demons
+step, the elastic red-black sweep, and the curvature matmul-DCT tiers
+(whose FLOPs grow as N^3 while everything else grows as N^2 — the one
+kernel with a size-dependent story).
+
+Run (real TPU, single process):  python benchmarks/r4_size_scaling.py
+Appends JSON lines to benchmarks/r4_results.jsonl.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflow2d_tpu.utils.profiling import kernel_timer
+
+OUT = os.path.join(os.path.dirname(__file__), "r4_results.jsonl")
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+
+
+def fields(nx, ny, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = np.arange(nx, dtype=np.float32)[:, None]
+    ys = np.arange(ny, dtype=np.float32)[None, :]
+    iref = np.sin(0.11 * xs) * np.cos(0.07 * ys)
+    imov = np.sin(0.11 * (xs - 1.3)) * np.cos(0.07 * (ys + 0.6))
+    u = rng.uniform(-1.4, 1.4, size=(2, nx, ny)).astype(np.float32)
+    return jnp.asarray(iref), jnp.asarray(imov), jnp.asarray(u)
+
+
+def main():
+    from opticalflow2d_tpu.solvers.base import derivatives, Derivatives
+    from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+        diffusion_block_pallas, stack_derivs, _pick_tiles)
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas, compose_smooth_pallas)
+    from opticalflow2d_tpu.solvers.elastic import elastic_step
+    from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+
+    for n in (1024, 2048, 4096):
+        iref, imov, u = fields(n, n)
+        d = derivatives(iref, imov)
+        npix = n * n
+
+        # Blocked diffusion, k=16 (headline kernel).
+        if _pick_tiles(n, 16, None) is not None:
+            g = stack_derivs(d.grad_i, d.it)
+
+            def blocked(v):
+                return diffusion_block_pallas(
+                    v, g, 0.5, k=16, with_errors=False)[0]
+
+            s = kernel_timer(blocked, jnp.zeros_like(u),
+                             iters_lo=20, iters_hi=120) / 16
+            emit(bench="diffusion_block_k16", n=n,
+                 us_per_iter=round(s * 1e6, 1),
+                 gpix_s=round(npix / s / 1e9, 1))
+
+        # Fused demons step (kernel A + B at their default tiles).
+        def demons(v):
+            c = demons_correspondence_pallas(
+                imov, iref, v, 1.0, 0.25, 2.0, 5, halo=2)
+            return compose_smooth_pallas(v, c, 2.0, 5, halo=2)
+
+        s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
+        emit(bench="demons_fused_step", n=n, us_per_iter=round(s * 1e6, 1),
+             gpix_s=round(npix / s / 1e9, 2))
+
+        # Elastic red-black iteration (force + colored half-sweeps).
+        dd = Derivatives(d.grad_i, d.it)
+
+        s = kernel_timer(lambda v: elastic_step(v, dd, 1.0, 0.1, 0.66), u,
+                         iters_lo=200, iters_hi=1000)
+        emit(bench="elastic_step", n=n, us_per_iter=round(s * 1e6, 1),
+             gpix_s=round(npix / s / 1e9, 1))
+
+        # Curvature matmul-DCT tiers + FFT path: the MXU matmul is O(N^3)
+        # per step, the Makhoul FFT path O(N^2 log N) — is there a
+        # crossover by 4096^2?
+        for impl in ("matmul_high", "matmul_fast", "fft"):
+            cstep = make_curvature_step(n, n, 0.25, 1.0, dct_impl=impl)
+            s = kernel_timer(lambda v: cstep(v, dd), u,
+                             iters_lo=20, iters_hi=120)
+            emit(bench=f"curvature_{impl}", n=n,
+                 us_per_iter=round(s * 1e6, 1),
+                 gpix_s=round(npix / s / 1e9, 2))
+
+
+if __name__ == "__main__":
+    main()

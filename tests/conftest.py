@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Interpret-mode pallas (used throughout the kernel tests) deadlocks against
+# async eager dispatch on small hosts: a pending interpreted program's
+# io_callback thread and the next eagerly dispatched op wait on each other
+# (reproduced deterministically on a 4-core box in
+# test_diffusion_pallas_iterated). Synchronous dispatch removes the overlap;
+# jitted programs are unaffected.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np
 import pytest
