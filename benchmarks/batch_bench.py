@@ -21,6 +21,8 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
     p.add_argument("--method", default="FLUID")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused/blocked Pallas kernels")
     args = p.parse_args()
 
     import jax
@@ -33,7 +35,7 @@ def main():
     rng = np.random.default_rng(0)
     cfg = RegConfig(
         method=Method[args.method], niter=(25, 25), nscales=1, mu=0.25, lam=0.0,
-        alpha=0.5,
+        alpha=0.5, use_pallas=args.pallas,
     )
 
     print(f"backend={jax.devices()[0].platform} size={n}x{n} method={cfg.method.name}")
