@@ -70,7 +70,7 @@ def tpu_throughput() -> float:
             diffusion_block_pallas, stack_derivs, _pick_tiles,
         )
 
-        if _pick_tiles(NX, BLOCK_K, None) is None:
+        if _pick_tiles(NX, BLOCK_K, None, NY) is None:
             raise ValueError("no tiling")
         g = stack_derivs(d.grad_i, d.it)
 

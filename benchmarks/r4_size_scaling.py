@@ -54,7 +54,7 @@ def main():
         npix = n * n
 
         # Blocked diffusion, k=16 (headline kernel).
-        if _pick_tiles(n, 16, None) is not None:
+        if _pick_tiles(n, 16, None, n) is not None:
             g = stack_derivs(d.grad_i, d.it)
 
             def blocked(v):

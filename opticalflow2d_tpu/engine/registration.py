@@ -186,7 +186,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         if blockable:
             from opticalflow2d_tpu.pallas_kernels import diffusion_block
 
-            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None) is not None:
+            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None, ny) is not None:
                 from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
                     diffusion_step_pallas,
                 )
@@ -224,7 +224,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
                 and cfg.sor_ordering == "redblack"):
             from opticalflow2d_tpu.pallas_kernels import elastic_block
 
-            if elastic_block._pick_tiles(nx, cfg.pallas_block_k, None) is not None:
+            if elastic_block._pick_tiles(nx, cfg.pallas_block_k, None, ny) is not None:
                 ref_st = cfg.compat.elastic_stencil_reference
                 return _solve_level_blocked(
                     u, iref, imov, cfg, niter, scale, cfg.pallas_block_k,

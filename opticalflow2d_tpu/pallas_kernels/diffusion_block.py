@@ -147,15 +147,19 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
-def _pick_tiles(nx: int, k: int, tb: int | None):
+def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
     """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
     multiple of pad dividing nx. Returns None if no valid tiling exists.
-    The auto cap is 128 rows: tb=256 at ny=1024 blows the 16M scoped-vmem
-    limit, and 128 measured fastest (5.9 us/iter at k=8) anyway."""
+    The auto cap scales inversely with the lane extent so the tile's VMEM
+    footprint stays constant: 128 rows at ny=1024 (tb=256 there blows the
+    16M scoped-vmem limit, and 128 measured fastest — 5.9 us/iter at k=8),
+    64 at ny=2048, and so on (2048^2 at the flat 128-row cap failed Mosaic
+    compile at 17M scoped vmem)."""
     pad = ((k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    for cand in range(min(128, nx), pad - 1, -pad):
+    cap = max(pad, (128 * 1024 // max(ny, 1)) // pad * pad)
+    for cand in range(min(cap, nx), pad - 1, -pad):
         if nx % cand == 0 and cand % pad == 0:
             return cand, pad
     return None
@@ -177,7 +181,7 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
     Requires a valid tiling (see ``_pick_tiles``); callers should fall back
     to the single-step kernel when this raises."""
     _, nx, ny = u.shape
-    tiles = _pick_tiles(nx, k, tb)
+    tiles = _pick_tiles(nx, k, tb, ny)
     if tiles is None:
         raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
     tb, pad = tiles
@@ -236,12 +240,14 @@ def required_pad(k: int) -> int:
     return ((k + 7) // 8) * 8
 
 
-def _pick_tb_strip(nxl: int, tb: int | None):
+def _pick_tb_strip(nxl: int, tb: int | None, ny: int = 1024):
     """Strip tiling only needs 8 | tb | nxl (manual DMA has no pad-multiple
-    constraint). None if nxl has no 8-aligned divisor."""
+    constraint). None if nxl has no 8-aligned divisor. The auto cap scales
+    inversely with the lane extent like ``_pick_tiles``."""
     if tb is not None and nxl % tb == 0 and tb % 8 == 0:
         return tb
-    for cand in range(min(128, nxl), 7, -8):
+    cap = max(8, (128 * 1024 // max(ny, 1)) // 8 * 8)
+    for cand in range(min(cap, nxl), 7, -8):
         if nxl % cand == 0:
             return cand
     return None
@@ -264,7 +270,7 @@ def diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb)
+    tb = _pick_tb_strip(nxl, tb, ny)
     if tb is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
     nblocks = nxl // tb

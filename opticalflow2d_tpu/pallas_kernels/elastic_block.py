@@ -150,16 +150,19 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
-def _pick_tiles(nx: int, k: int, tb: int | None):
+def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
     """Pick (tb, pad): the per-iteration cone is 2 rows (red + black
     half-sweeps), so pad = 2k rounded up to the sublane tile (8); tb a
     multiple of pad dividing nx. None if no valid tiling exists."""
     pad = ((2 * k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    # Cap 64: the elastic kernel's candidate temporaries (24 rolls) blow
-    # the 16M scoped-vmem limit at tb=128/ny=1024 (measured: 21.85M).
-    for cand in range(min(64, nx), pad - 1, -pad):
+    # Cap 64 at ny=1024: the elastic kernel's candidate temporaries (24
+    # rolls) blow the 16M scoped-vmem limit at tb=128/ny=1024 (measured:
+    # 21.85M). The cap scales inversely with the lane extent so the VMEM
+    # footprint stays constant at wider ny.
+    cap = max(pad, (64 * 1024 // max(ny, 1)) // pad * pad)
+    for cand in range(min(cap, nx), pad - 1, -pad):
         if nx % cand == 0 and cand % pad == 0:
             return cand, pad
     return None
@@ -180,7 +183,7 @@ def elastic_block_pallas(u, g, mu: float, lam: float, omega: float,
     over the whole field (``None`` when ``with_errors=False``). Callers
     fall back to ``elastic_step`` when no valid tiling exists."""
     _, nx, ny = u.shape
-    tiles = _pick_tiles(nx, k, tb)
+    tiles = _pick_tiles(nx, k, tb, ny)
     if tiles is None:
         raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
     tb, pad = tiles
@@ -259,7 +262,7 @@ def elastic_block_strip(u_pad, g_pad, row0, nx_glob, mu: float, lam: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb)
+    tb = _pick_tb_strip(nxl, tb, ny)
     if tb is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
     nblocks = nxl // tb

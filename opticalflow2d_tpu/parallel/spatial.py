@@ -761,7 +761,7 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
                 )
 
                 nxl = iref_l.shape[0]
-                if _pick_tb_strip(nxl, None) is not None:
+                if _pick_tb_strip(nxl, None, iref_l.shape[1]) is not None:
                     return _diffusion_level_blocked_strip(
                         u, grad_i, it_img, p["alpha"], level_niter, bk,
                         halo, convergence_tol, "x",
@@ -777,7 +777,7 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
                     _pick_tb_strip,
                 )
 
-                if _pick_tb_strip(iref_l.shape[0], None) is not None:
+                if _pick_tb_strip(iref_l.shape[0], None, iref_l.shape[1]) is not None:
                     return _elastic_level_blocked_strip(
                         u, grad_i, it_img, p, level_niter, bk, halo,
                         convergence_tol, "x",
