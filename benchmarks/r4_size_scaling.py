@@ -43,6 +43,7 @@ def main():
     from opticalflow2d_tpu.solvers.base import derivatives, Derivatives
     from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
         diffusion_block_pallas, stack_derivs, _pick_tiles)
+    from opticalflow2d_tpu.pallas_kernels import elastic_block
     from opticalflow2d_tpu.pallas_kernels.demons_fused import (
         demons_correspondence_pallas, compose_smooth_pallas)
     from opticalflow2d_tpu.solvers.elastic import elastic_step
@@ -54,18 +55,25 @@ def main():
         npix = n * n
 
         # Blocked diffusion, k=16 (headline kernel).
-        if _pick_tiles(n, 16, None, n) is not None:
+        for kk in (16, 8):
+            if _pick_tiles(n, kk, None, n) is None:
+                emit(bench=f"diffusion_block_k{kk}", n=n, skipped="no tiling")
+                continue
             g = stack_derivs(d.grad_i, d.it)
 
-            def blocked(v):
+            def blocked(v, kk=kk):
                 return diffusion_block_pallas(
-                    v, g, 0.5, k=16, with_errors=False)[0]
+                    v, g, 0.5, k=kk, with_errors=False)[0]
 
-            s = kernel_timer(blocked, jnp.zeros_like(u),
-                             iters_lo=20, iters_hi=120) / 16
-            emit(bench="diffusion_block_k16", n=n,
-                 us_per_iter=round(s * 1e6, 1),
-                 gpix_s=round(npix / s / 1e9, 1))
+            try:
+                s = kernel_timer(blocked, jnp.zeros_like(u),
+                                 iters_lo=20, iters_hi=120) / kk
+                emit(bench=f"diffusion_block_k{kk}", n=n,
+                     us_per_iter=round(s * 1e6, 1),
+                     gpix_s=round(npix / s / 1e9, 1))
+            except Exception as exc:
+                emit(bench=f"diffusion_block_k{kk}", n=n,
+                     error=type(exc).__name__)
 
         # Fused demons step (kernel A + B at their default tiles).
         def demons(v):
@@ -73,9 +81,13 @@ def main():
                 imov, iref, v, 1.0, 0.25, 2.0, 5, halo=2)
             return compose_smooth_pallas(v, c, 2.0, 5, halo=2)
 
-        s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
-        emit(bench="demons_fused_step", n=n, us_per_iter=round(s * 1e6, 1),
-             gpix_s=round(npix / s / 1e9, 2))
+        try:
+            s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
+            emit(bench="demons_fused_step", n=n,
+                 us_per_iter=round(s * 1e6, 1),
+                 gpix_s=round(npix / s / 1e9, 2))
+        except Exception as exc:
+            emit(bench="demons_fused_step", n=n, error=type(exc).__name__)
 
         # Elastic red-black iteration (force + colored half-sweeps).
         dd = Derivatives(d.grad_i, d.it)
@@ -85,13 +97,35 @@ def main():
         emit(bench="elastic_step", n=n, us_per_iter=round(s * 1e6, 1),
              gpix_s=round(npix / s / 1e9, 1))
 
+        # Temporal-blocked elastic, k=4: a wash at 1024^2 (VPU-bound
+        # there), but the jnp step's rolls spill to HBM at larger grids.
+        if elastic_block._pick_tiles(n, 4, None, n) is not None:
+            ge = stack_derivs(d.grad_i, d.it)
+
+            def eblocked(v):
+                return elastic_block.elastic_block_pallas(
+                    v, ge, 1.0, 0.1, 0.66, True, k=4, with_errors=False)[0]
+
+            try:
+                s = kernel_timer(eblocked, u, iters_lo=50, iters_hi=250) / 4
+                emit(bench="elastic_block_k4", n=n,
+                     us_per_iter=round(s * 1e6, 1),
+                     gpix_s=round(npix / s / 1e9, 1))
+            except Exception as exc:
+                emit(bench="elastic_block_k4", n=n, error=type(exc).__name__)
+
         # Curvature matmul-DCT tiers + FFT path: the MXU matmul is O(N^3)
         # per step, the Makhoul FFT path O(N^2 log N) — is there a
         # crossover by 4096^2?
+        # Iteration counts sized so the slope delta is >=200 ms of device
+        # time: short deltas (the first run used 20/120 everywhere) sink
+        # below the ~28 ms tunnel dispatch jitter and produce nonsense
+        # (a measured 20.5 us/step "fast" DCT = 840 TFLOP/s, 4x the chip).
+        c_iters = {1024: (200, 1000), 2048: (50, 250)}.get(n, (10, 60))
         for impl in ("matmul_high", "matmul_fast", "fft"):
             cstep = make_curvature_step(n, n, 0.25, 1.0, dct_impl=impl)
             s = kernel_timer(lambda v: cstep(v, dd), u,
-                             iters_lo=20, iters_hi=120)
+                             iters_lo=c_iters[0], iters_hi=c_iters[1])
             emit(bench=f"curvature_{impl}", n=n,
                  us_per_iter=round(s * 1e6, 1),
                  gpix_s=round(npix / s / 1e9, 2))

@@ -147,20 +147,31 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
+_VMEM_BUDGET = 14e6  # conservative vs Mosaic's 16M scoped-vmem limit
+
+
+def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
+    """Empirical Mosaic stack-size model for the blocked diffusion kernel,
+    fit on measured compiles: stack ~= 4*ny*(9.4*tb + 55*pad) bytes. The
+    model reproduces the two observed scoped-vmem failures to within 1%
+    (tb=128/pad=16/ny=2048 -> 17.0M measured vs 17.0M predicted;
+    tb=32/pad=16/ny=4096 -> 19.26M vs 19.3M) and every known-good config
+    (e.g. tb=128/pad=16/ny=1024 -> 8.5M)."""
+    return 4.0 * ny * (9.4 * tb + 55.0 * pad) <= _VMEM_BUDGET
+
+
 def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
     """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
-    multiple of pad dividing nx. Returns None if no valid tiling exists.
-    The auto cap scales inversely with the lane extent so the tile's VMEM
-    footprint stays constant: 128 rows at ny=1024 (tb=256 there blows the
-    16M scoped-vmem limit, and 128 measured fastest — 5.9 us/iter at k=8),
-    64 at ny=2048, and so on (2048^2 at the flat 128-row cap failed Mosaic
-    compile at 17M scoped vmem)."""
+    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``).
+    Returns None if no fitting tiling exists (callers fall back to the
+    single-step kernel). An explicit ``tb`` is honored unchecked (expert
+    override). The auto cap stays at 128 rows — tb=128 measured fastest
+    at ny=1024 (5.9 us/iter at k=8) and larger tiles blow scoped vmem."""
     pad = ((k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    cap = max(pad, (128 * 1024 // max(ny, 1)) // pad * pad)
-    for cand in range(min(cap, nx), pad - 1, -pad):
-        if nx % cand == 0 and cand % pad == 0:
+    for cand in range(min(128, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0 and _fits_vmem(cand, pad, ny):
             return cand, pad
     return None
 
@@ -240,15 +251,15 @@ def required_pad(k: int) -> int:
     return ((k + 7) // 8) * 8
 
 
-def _pick_tb_strip(nxl: int, tb: int | None, ny: int = 1024):
+def _pick_tb_strip(nxl: int, tb: int | None, ny: int = 1024, pad: int = 8):
     """Strip tiling only needs 8 | tb | nxl (manual DMA has no pad-multiple
-    constraint). None if nxl has no 8-aligned divisor. The auto cap scales
-    inversely with the lane extent like ``_pick_tiles``."""
+    constraint). None if nxl has no 8-aligned divisor inside the VMEM
+    model (same ``_fits_vmem`` shape as the whole-image kernel — the strip
+    scratch streams the same planes)."""
     if tb is not None and nxl % tb == 0 and tb % 8 == 0:
         return tb
-    cap = max(8, (128 * 1024 // max(ny, 1)) // 8 * 8)
-    for cand in range(min(cap, nxl), 7, -8):
-        if nxl % cand == 0:
+    for cand in range(min(128, nxl), 7, -8):
+        if nxl % cand == 0 and _fits_vmem(cand, pad, ny):
             return cand
     return None
 
@@ -270,7 +281,7 @@ def diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb, ny)
+    tb = _pick_tb_strip(nxl, tb, ny, pad)
     if tb is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
     nblocks = nxl // tb

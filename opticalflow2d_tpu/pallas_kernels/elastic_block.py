@@ -150,20 +150,28 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
+def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
+    """Empirical Mosaic stack-size model for the blocked elastic kernel:
+    stack ~= 4*ny*(9.4*tb + 28.7*(tb + 2*pad)) bytes — same streamed-plane
+    term as the diffusion kernel plus extended-tile temporaries (the 24
+    candidate rolls). Calibrated on the measured 21.85M failure at
+    tb=128/pad=8/ny=1024 and the known-good tb=64 configs at k=4/8
+    (11.9M / 13.7M)."""
+    e = tb + 2 * pad
+    return 4.0 * ny * (9.4 * tb + 28.7 * e) <= 14e6
+
+
 def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
     """Pick (tb, pad): the per-iteration cone is 2 rows (red + black
     half-sweeps), so pad = 2k rounded up to the sublane tile (8); tb a
-    multiple of pad dividing nx. None if no valid tiling exists."""
+    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``).
+    None if no fitting tiling exists (callers fall back to
+    ``elastic_step``)."""
     pad = ((2 * k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
-    # Cap 64 at ny=1024: the elastic kernel's candidate temporaries (24
-    # rolls) blow the 16M scoped-vmem limit at tb=128/ny=1024 (measured:
-    # 21.85M). The cap scales inversely with the lane extent so the VMEM
-    # footprint stays constant at wider ny.
-    cap = max(pad, (64 * 1024 // max(ny, 1)) // pad * pad)
-    for cand in range(min(cap, nx), pad - 1, -pad):
-        if nx % cand == 0 and cand % pad == 0:
+    for cand in range(min(64, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0 and _fits_vmem(cand, pad, ny):
             return cand, pad
     return None
 
@@ -262,7 +270,7 @@ def elastic_block_strip(u_pad, g_pad, row0, nx_glob, mu: float, lam: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb, ny)
+    tb = _pick_tb_strip(nxl, tb, ny, pad)
     if tb is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
     nblocks = nxl // tb

@@ -230,6 +230,11 @@ def test_pick_tiles_and_invalid_raise():
     assert _pick_tiles(1024, 9, None) == (128, 16)
     assert _pick_tiles(1024, 8, 256) == (256, 8)  # explicit tb still allowed
     assert _pick_tiles(12, 8, None) is None  # 12 not divisible by 8
+    # VMEM model scales the auto tile down at wider lane extents (the flat
+    # 128-row cap failed Mosaic compile at 2048^2: 17M > 16M scoped vmem).
+    assert _pick_tiles(2048, 16, None, ny=2048) == (64, 16)
+    assert _pick_tiles(4096, 16, None, ny=4096) is None  # no fitting tile
+    assert _pick_tiles(4096, 8, None, ny=4096) == (32, 8)
     with pytest.raises(ValueError):
         diffusion_block_pallas(
             jnp.zeros((2, 12, 40)), jnp.zeros((3, 12, 40)), alpha=0.5, k=8

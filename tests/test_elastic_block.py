@@ -79,9 +79,13 @@ def test_block_error_sums_match_explicit(rng):
 def test_pick_tiles_cone_is_2k():
     assert _pick_tiles(1024, 4, None) == (64, 8)
     assert _pick_tiles(1024, 8, None) == (64, 16)
-    assert _pick_tiles(1024, 16, None) == (64, 32)
+    # k=16's 64-row tile exceeds the VMEM model (17.5M est); 32 fits.
+    assert _pick_tiles(1024, 16, None) == (32, 32)
     assert _pick_tiles(1024, 4, 128) == (128, 8)  # explicit tb still allowed
     assert _pick_tiles(44, 4, None) is None
+    # Wider lane extents shrink the auto tile to hold the VMEM footprint.
+    assert _pick_tiles(2048, 4, None, ny=2048) == (32, 8)
+    assert _pick_tiles(4096, 4, None, ny=4096) == (8, 8)
     with pytest.raises(ValueError):
         elastic_block_pallas(
             jnp.zeros((2, 44, 40)), jnp.zeros((3, 44, 40)),
