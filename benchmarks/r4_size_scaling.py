@@ -5,8 +5,9 @@ step, the elastic red-black sweep, and the curvature matmul-DCT tiers
 (whose FLOPs grow as N^3 while everything else grows as N^2 — the one
 kernel with a size-dependent story).
 
-Run (real TPU, single process):  python benchmarks/r4_size_scaling.py
-Appends JSON lines to benchmarks/r4_results.jsonl.
+Run (real TPU, single process):  python benchmarks/r4_size_scaling.py [N ...]
+(sizes default to 1024 2048 4096). Appends JSON lines to
+benchmarks/r4_results.jsonl.
 """
 
 import json
@@ -49,13 +50,22 @@ def main():
     from opticalflow2d_tpu.solvers.elastic import elastic_step
     from opticalflow2d_tpu.solvers.curvature import make_curvature_step
 
-    for n in (1024, 2048, 4096):
+    sizes = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096]
+    # BENCHES=elastic,curvature restricts the families (re-collecting rows
+    # lost to a tunnel drop without re-paying the full sweep).
+    only = os.environ.get("BENCHES", "")
+    want = set(only.split(",")) if only else None
+
+    def wanted(fam):
+        return want is None or fam in want
+
+    for n in sizes:
         iref, imov, u = fields(n, n)
         d = derivatives(iref, imov)
         npix = n * n
 
         # Blocked diffusion, k=16 (headline kernel).
-        for kk in (16, 8):
+        for kk in (16, 8) if wanted("diffusion") else ():
             if _pick_tiles(n, kk, None, n) is None:
                 emit(bench=f"diffusion_block_k{kk}", n=n, skipped="no tiling")
                 continue
@@ -81,25 +91,29 @@ def main():
                 imov, iref, v, 1.0, 0.25, 2.0, 5, halo=2)
             return compose_smooth_pallas(v, c, 2.0, 5, halo=2)
 
-        try:
-            s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
-            emit(bench="demons_fused_step", n=n,
-                 us_per_iter=round(s * 1e6, 1),
-                 gpix_s=round(npix / s / 1e9, 2))
-        except Exception as exc:
-            emit(bench="demons_fused_step", n=n, error=type(exc).__name__)
+        if wanted("demons"):
+            try:
+                s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
+                emit(bench="demons_fused_step", n=n,
+                     us_per_iter=round(s * 1e6, 1),
+                     gpix_s=round(npix / s / 1e9, 2))
+            except Exception as exc:
+                emit(bench="demons_fused_step", n=n,
+                     error=type(exc).__name__)
 
         # Elastic red-black iteration (force + colored half-sweeps).
         dd = Derivatives(d.grad_i, d.it)
 
-        s = kernel_timer(lambda v: elastic_step(v, dd, 1.0, 0.1, 0.66), u,
-                         iters_lo=200, iters_hi=1000)
-        emit(bench="elastic_step", n=n, us_per_iter=round(s * 1e6, 1),
-             gpix_s=round(npix / s / 1e9, 1))
+        if wanted("elastic"):
+            s = kernel_timer(lambda v: elastic_step(v, dd, 1.0, 0.1, 0.66),
+                             u, iters_lo=200, iters_hi=1000)
+            emit(bench="elastic_step", n=n, us_per_iter=round(s * 1e6, 1),
+                 gpix_s=round(npix / s / 1e9, 1))
 
         # Temporal-blocked elastic, k=4: a wash at 1024^2 (VPU-bound
         # there), but the jnp step's rolls spill to HBM at larger grids.
-        if elastic_block._pick_tiles(n, 4, None, n) is not None:
+        if wanted("elastic") and \
+                elastic_block._pick_tiles(n, 4, None, n) is not None:
             ge = stack_derivs(d.grad_i, d.it)
 
             def eblocked(v):
@@ -122,7 +136,8 @@ def main():
         # below the ~28 ms tunnel dispatch jitter and produce nonsense
         # (a measured 20.5 us/step "fast" DCT = 840 TFLOP/s, 4x the chip).
         c_iters = {1024: (200, 1000), 2048: (50, 250)}.get(n, (10, 60))
-        for impl in ("matmul_high", "matmul_fast", "fft"):
+        for impl in (("matmul_high", "matmul_fast", "fft")
+                     if wanted("curvature") else ()):
             cstep = make_curvature_step(n, n, 0.25, 1.0, dct_impl=impl)
             s = kernel_timer(lambda v: cstep(v, dd), u,
                              iters_lo=c_iters[0], iters_hi=c_iters[1])

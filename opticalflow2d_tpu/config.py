@@ -159,12 +159,15 @@ class RegConfig:
     # Logger error sums on, 14.5 us without (the kernel is VPU-bound once
     # HBM traffic amortizes away).
     pallas_block_k: int = 8
-    # Temporal blocking for the elastic SOR solver. Off by default for the
-    # serial driver: the elastic iteration is VPU-bound (24 rolls/iter),
-    # so removing its HBM traffic measured a wash on one chip (83.8 vs
-    # 82.1 us/iter at 1024^2). Worth enabling under SP drivers, where one
-    # pad-row halo exchange replaces k per-iteration exchanges.
-    pallas_block_elastic: bool = False
+    # Temporal blocking for the elastic SOR solver. None = auto: enabled
+    # for levels of >= 2048^2 pixels, off below. At 1024^2 the elastic
+    # iteration is VPU-bound (24 rolls/iter) and blocking is a wash (86.0
+    # vs 88.4 us/iter on v5e); at 2048^2 XLA spills the jnp step's rolls
+    # to HBM and the VMEM-resident blocked kernel runs 2.0x faster (381.9
+    # vs 756.6 us/iter — benchmarks/RESULTS.md round 4). Also worth
+    # forcing on under SP drivers, where one pad-row halo exchange
+    # replaces k per-iteration exchanges.
+    pallas_block_elastic: bool | None = None
     # Stream per-iteration relative errors to the host console as they
     # happen (the reference Logger's verbose mode, src/Logger.cpp:62-79),
     # via jax.debug.callback. Costs a host sync per iteration — leave off

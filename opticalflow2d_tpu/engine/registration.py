@@ -219,7 +219,14 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             )
         )
     elif cfg.method == Method.ELASTIC:
-        if (blockable and cfg.pallas_block_elastic
+        # None = auto: block only at >= 2048^2, where XLA spills the jnp
+        # step's rolls to HBM and the blocked kernel measures 2x (see
+        # config.pallas_block_elastic).
+        block_elastic = (
+            cfg.pallas_block_elastic if cfg.pallas_block_elastic is not None
+            else nx * ny >= 2048 * 2048
+        )
+        if (blockable and block_elastic
                 and cfg.navier_lame_solver == "sor"
                 and cfg.sor_ordering == "redblack"):
             from opticalflow2d_tpu.pallas_kernels import elastic_block

@@ -55,27 +55,31 @@ def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int):
     r read from padded row r + a (sublane roll; wrapped rows are masked by
     the caller's weights/bounds) and lane offset b.
     """
-    lane_rolls = {}
-
+    # oy-outer rolling pair: only lane(oy) and lane(oy+1) are live at any
+    # point (2 lane-rolled tiles in VMEM instead of 2*halo+2; same total
+    # roll count — see warp_fused for the full rationale). Masks are
+    # disjoint across (ox, oy), so results are bit-identical to any other
+    # accumulation order.
     def lane(b):
-        if b not in lane_rolls:
-            lane_rolls[b] = pltpu.roll(tile, (ny - b) % ny, 2)
-        return lane_rolls[b]
+        return pltpu.roll(tile, (ny - b) % ny, 2)
 
-    def rolled(a, b):
-        return pltpu.roll(lane(b), (rows - a) % rows, 1)
+    def rolled(src, a):
+        return pltpu.roll(src, (rows - a) % rows, 1)
 
     nc = tile.shape[0]
     z = jnp.zeros((nc, rows, ny), tile.dtype)
     g00, g10, g01, g11 = z, z, z, z
-    for ox in range(-halo, halo + 1):
-        mx = rx == ox
-        for oy in range(-halo, halo + 1):
-            m = mx & (ry == oy)
-            g00 = jnp.where(m, rolled(ox, oy), g00)
-            g10 = jnp.where(m, rolled(ox + 1, oy), g10)
-            g01 = jnp.where(m, rolled(ox, oy + 1), g01)
-            g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+    lane_hi = lane(-halo)
+    for oy in range(-halo, halo + 1):
+        lane_lo = lane_hi          # lane(oy)
+        lane_hi = lane(oy + 1)
+        my = ry == oy
+        for ox in range(-halo, halo + 1):
+            m = my & (rx == ox)
+            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
+            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
+            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
+            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
     return g00, g10, g01, g11
 
 

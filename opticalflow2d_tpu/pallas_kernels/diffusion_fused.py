@@ -69,18 +69,34 @@ def _diffusion_kernel(u_c_ref, u_up_ref, u_dn_ref, gx_ref, gy_ref, it_ref,
     out_ref[1, :, :] = q[1] - gy * scale
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "tb"))
-def diffusion_step_pallas(u, grad_i, it_img, alpha: float, tb: int = 256):
-    """Drop-in fused replacement for ``diffusion_step`` (same float math,
-    same result). Requires ``nx % tb == 0`` and ``tb % 8 == 0``; falls back
-    to the largest valid tile otherwise."""
-    _, nx, ny = u.shape
+def _pick_tb_single(nx: int, ny: int, tb: int = 0) -> int:
+    """Row tile for the single-step kernel. ``tb=0`` scales with the lane
+    extent: the kernel's VMEM live-set is ~12 planes of the extended tile
+    ``(tb+16, ny)``, so the largest compilable tile satisfies
+    ``(tb+16)*ny <= 294,912`` lanes (measured on v5e: tb=256@1024 and
+    tb=128@2048 — exactly at the bound — compile and run; tb=256@2048
+    and tb=64@4096 blow Mosaic's 16M scoped vmem). An explicit ``tb``
+    must satisfy ``nx % tb == 0`` and ``tb % 8 == 0`` or the same
+    descending divisor search runs from it."""
+    if tb <= 0:
+        tb = max(8, min(256, ((294912 // ny - 16) // 8) * 8))
     if nx % tb != 0 or tb % 8 != 0:
+        start = min(tb if tb % 8 == 0 else 256, nx)
         tb = 8
-        for cand in range(min(256, nx), 7, -8):
+        for cand in range(start, 7, -8):
             if nx % cand == 0:
                 tb = cand
                 break
+    return tb
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "tb"))
+def diffusion_step_pallas(u, grad_i, it_img, alpha: float, tb: int = 0):
+    """Drop-in fused replacement for ``diffusion_step`` (same float math,
+    same result). Row tile via ``_pick_tb_single`` (lane-extent-aware;
+    the flat 256-row default blew scoped vmem at ny >= 2048)."""
+    _, nx, ny = u.shape
+    tb = _pick_tb_single(nx, ny, tb)
     nblocks = nx // tb
     nb8 = tb // 8  # halo index stride in 8-row blocks
     last8 = nx // 8 - 1

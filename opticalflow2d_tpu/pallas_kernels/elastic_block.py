@@ -151,14 +151,14 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
 
 
 def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
-    """Empirical Mosaic stack-size model for the blocked elastic kernel:
-    stack ~= 4*ny*(9.4*tb + 28.7*(tb + 2*pad)) bytes — same streamed-plane
-    term as the diffusion kernel plus extended-tile temporaries (the 24
-    candidate rolls). Calibrated on the measured 21.85M failure at
-    tb=128/pad=8/ny=1024 and the known-good tb=64 configs at k=4/8
-    (11.9M / 13.7M)."""
-    e = tb + 2 * pad
-    return 4.0 * ny * (9.4 * tb + 28.7 * e) <= 14e6
+    """Empirical scoped-vmem feasibility for the blocked elastic kernel,
+    on the extended-tile footprint ``e*ny`` like the diffusion model but
+    with a tighter threshold (the 24 candidate rolls roughly double the
+    live temporaries): known-good tb=64 @ny=1024 at k=4/8 have e*ny of
+    81,920 / 98,304 lanes; the measured 21.85M failure (tb=128, pad=8,
+    ny=1024) has 147,456. Threshold at the largest measured-good
+    footprint."""
+    return (tb + 2 * pad) * ny <= 98_304
 
 
 def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):

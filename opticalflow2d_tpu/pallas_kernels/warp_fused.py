@@ -65,29 +65,32 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
     # reads padded rows r + a + PAD — a sublane roll by -(a+PAD) (no wrap
     # reaches r < tb) followed by the aligned [0:tb] slice. Lane offsets b
     # are lane rolls (wrap lands only where weights/bounds mask it).
-    # Only the (2h+2) lane rolls are cached (VMEM budget); sublane shifts
-    # are cheap row renumberings recomputed per tap.
-    lane_rolls = {}
-
+    # With oy as the OUTER loop only lane(oy) and lane(oy+1) are ever
+    # live — the previous iteration's lane(oy+1) is reused as this
+    # iteration's lane(oy) — so the VMEM live-set holds 2 lane-rolled
+    # tiles instead of 2*halo+2 (same total roll count). The (ox, oy)
+    # masks are disjoint, so the accumulation-order change cannot alter
+    # any output element (each is written by at most one select).
     def lane(b):
-        if b not in lane_rolls:
-            lane_rolls[b] = pltpu.roll(tile, (ny - b) % ny, 2)
-        return lane_rolls[b]
+        return pltpu.roll(tile, (ny - b) % ny, 2)
 
-    def rolled(a, b):
-        shifted = pltpu.roll(lane(b), (rows - (a + _PAD)) % rows, 1)
+    def rolled(src, a):
+        shifted = pltpu.roll(src, (rows - (a + _PAD)) % rows, 1)
         return shifted[:, 0:tb, :]
 
     z = jnp.zeros((nc, tb, ny), tile.dtype)
     g00, g10, g01, g11 = z, z, z, z
-    for ox in range(-halo, halo + 1):
-        mx = rx == ox
-        for oy in range(-halo, halo + 1):
-            m = mx & (ry == oy)  # broadcasts over the channel axis
-            g00 = jnp.where(m, rolled(ox, oy), g00)
-            g10 = jnp.where(m, rolled(ox + 1, oy), g10)
-            g01 = jnp.where(m, rolled(ox, oy + 1), g01)
-            g11 = jnp.where(m, rolled(ox + 1, oy + 1), g11)
+    lane_hi = lane(-halo)
+    for oy in range(-halo, halo + 1):
+        lane_lo = lane_hi          # lane(oy)
+        lane_hi = lane(oy + 1)
+        my = ry == oy
+        for ox in range(-halo, halo + 1):
+            m = my & (rx == ox)  # broadcasts over the channel axis
+            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
+            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
+            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
+            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
 
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1

@@ -233,7 +233,8 @@ def test_pick_tiles_and_invalid_raise():
     # VMEM model scales the auto tile down at wider lane extents (the flat
     # 128-row cap failed Mosaic compile at 2048^2: 17M > 16M scoped vmem).
     assert _pick_tiles(2048, 16, None, ny=2048) == (64, 16)
-    assert _pick_tiles(4096, 16, None, ny=4096) is None  # no fitting tile
+    assert _pick_tiles(2048, 8, None, ny=2048) == (64, 8)
+    assert _pick_tiles(4096, 16, None, ny=4096) == (16, 16)
     assert _pick_tiles(4096, 8, None, ny=4096) == (32, 8)
     with pytest.raises(ValueError):
         diffusion_block_pallas(

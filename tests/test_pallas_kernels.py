@@ -27,6 +27,26 @@ def test_diffusion_pallas_matches_jnp(shape, tb, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_single_step_tb_scales_with_lane_extent():
+    """The auto row tile must respect the measured (tb+16)*ny <= 294,912
+    scoped-vmem wall (tb=256@2048 / tb=64@4096 failed Mosaic compile on
+    v5e; tb=128@2048 / tb=32@4096 measured good)."""
+    from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+        _pick_tb_single)
+
+    assert _pick_tb_single(1024, 1024) == 256
+    assert _pick_tb_single(2048, 2048) == 128
+    assert _pick_tb_single(4096, 4096) == 32  # cap 56 -> largest divisor
+    # Explicit tb is honored when valid, re-searched when not.
+    assert _pick_tb_single(2048, 2048, tb=64) == 64
+    assert _pick_tb_single(120, 1024, tb=256) == 120
+    # Every pick divides nx and is 8-aligned.
+    for nx in (64, 120, 256, 1000, 4096):
+        for ny in (128, 1024, 2048, 8192):
+            tb = _pick_tb_single(nx, ny)
+            assert nx % tb == 0 and tb % 8 == 0
+
+
 def test_diffusion_pallas_iterated(rng):
     nx, ny = 32, 32
     iref, imov = make_pair(nx, ny, shift=(1.0, -0.5))
