@@ -84,7 +84,7 @@ def main():
         # |u| <= 1.4).
         want_w = jax.jit(lambda: warp2d(imov, u, halo=2))()
 
-        for tb in (32, 64, 128):
+        for tb in (8, 16, 32, 64, 128):
             if n % tb:
                 continue
             # Kernel A: warp+gradient+force+smooth.

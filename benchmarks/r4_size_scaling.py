@@ -71,12 +71,12 @@ def main():
                 continue
             g = stack_derivs(d.grad_i, d.it)
 
-            def blocked(v, kk=kk):
-                return diffusion_block_pallas(
-                    v, g, 0.5, k=kk, with_errors=False)[0]
+            def blocked(st, kk=kk):
+                return (diffusion_block_pallas(
+                    st[0], st[1], 0.5, k=kk, with_errors=False)[0], st[1])
 
             try:
-                s = kernel_timer(blocked, jnp.zeros_like(u),
+                s = kernel_timer(blocked, (jnp.zeros_like(u), g),
                                  iters_lo=20, iters_hi=120) / kk
                 emit(bench=f"diffusion_block_k{kk}", n=n,
                      us_per_iter=round(s * 1e6, 1),
@@ -86,14 +86,16 @@ def main():
                      error=type(exc).__name__)
 
         # Fused demons step (kernel A + B at their default tiles).
-        def demons(v):
+        def demons(st):
+            v, im, ir = st
             c = demons_correspondence_pallas(
-                imov, iref, v, 1.0, 0.25, 2.0, 5, halo=2)
-            return compose_smooth_pallas(v, c, 2.0, 5, halo=2)
+                im, ir, v, 1.0, 0.25, 2.0, 5, halo=2)
+            return (compose_smooth_pallas(v, c, 2.0, 5, halo=2), im, ir)
 
         if wanted("demons"):
             try:
-                s = kernel_timer(demons, u, iters_lo=100, iters_hi=500)
+                s = kernel_timer(demons, (u, imov, iref),
+                                 iters_lo=100, iters_hi=500)
                 emit(bench="demons_fused_step", n=n,
                      us_per_iter=round(s * 1e6, 1),
                      gpix_s=round(npix / s / 1e9, 2))
@@ -105,8 +107,10 @@ def main():
         dd = Derivatives(d.grad_i, d.it)
 
         if wanted("elastic"):
-            s = kernel_timer(lambda v: elastic_step(v, dd, 1.0, 0.1, 0.66),
-                             u, iters_lo=200, iters_hi=1000)
+            s = kernel_timer(
+                lambda st: (elastic_step(st[0], Derivatives(st[1], st[2]),
+                                         1.0, 0.1, 0.66), st[1], st[2]),
+                (u, d.grad_i, d.it), iters_lo=200, iters_hi=1000)
             emit(bench="elastic_step", n=n, us_per_iter=round(s * 1e6, 1),
                  gpix_s=round(npix / s / 1e9, 1))
 
@@ -116,12 +120,14 @@ def main():
                 elastic_block._pick_tiles(n, 4, None, n) is not None:
             ge = stack_derivs(d.grad_i, d.it)
 
-            def eblocked(v):
-                return elastic_block.elastic_block_pallas(
-                    v, ge, 1.0, 0.1, 0.66, True, k=4, with_errors=False)[0]
+            def eblocked(st):
+                return (elastic_block.elastic_block_pallas(
+                    st[0], st[1], 1.0, 0.1, 0.66, True, k=4,
+                    with_errors=False)[0], st[1])
 
             try:
-                s = kernel_timer(eblocked, u, iters_lo=50, iters_hi=250) / 4
+                s = kernel_timer(eblocked, (u, ge),
+                                 iters_lo=50, iters_hi=250) / 4
                 emit(bench="elastic_block_k4", n=n,
                      us_per_iter=round(s * 1e6, 1),
                      gpix_s=round(npix / s / 1e9, 1))
@@ -139,8 +145,11 @@ def main():
         for impl in (("matmul_high", "matmul_fast", "fft")
                      if wanted("curvature") else ()):
             cstep = make_curvature_step(n, n, 0.25, 1.0, dct_impl=impl)
-            s = kernel_timer(lambda v: cstep(v, dd), u,
-                             iters_lo=c_iters[0], iters_hi=c_iters[1])
+            s = kernel_timer(
+                lambda st: (cstep(st[0], Derivatives(st[1], st[2])),
+                            st[1], st[2]),
+                (u, d.grad_i, d.it),
+                iters_lo=c_iters[0], iters_hi=c_iters[1])
             emit(bench=f"curvature_{impl}", n=n,
                  us_per_iter=round(s * 1e6, 1),
                  gpix_s=round(npix / s / 1e9, 2))

@@ -168,6 +168,13 @@ class RegConfig:
     # forcing on under SP drivers, where one pad-row halo exchange
     # replaces k per-iteration exchanges.
     pallas_block_elastic: bool | None = None
+    # Elastic temporal block depth (decoupled from pallas_block_k: the
+    # elastic cone is 2 rows/iter, so pad = 2k and larger k forces tiny
+    # row tiles at wide lane extents — k=8 at 2048^2 would tile as
+    # (tb=16, pad=16), 3x pad overhead, while the measured-good config is
+    # k=4 (tb=32, pad=8): 381.9 us/iter vs 756.6 for jnp. None = min(4,
+    # pallas_block_k).
+    pallas_block_k_elastic: int | None = None
     # Stream per-iteration relative errors to the host console as they
     # happen (the reference Logger's verbose mode, src/Logger.cpp:62-79),
     # via jax.debug.callback. Costs a host sync per iteration — leave off

@@ -226,18 +226,21 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             cfg.pallas_block_elastic if cfg.pallas_block_elastic is not None
             else nx * ny >= 2048 * 2048
         )
-        if (blockable and block_elastic
+        k_el = (cfg.pallas_block_k_elastic
+                if cfg.pallas_block_k_elastic is not None
+                else min(4, cfg.pallas_block_k))
+        if (blockable and block_elastic and k_el > 1
                 and cfg.navier_lame_solver == "sor"
                 and cfg.sor_ordering == "redblack"):
             from opticalflow2d_tpu.pallas_kernels import elastic_block
 
-            if elastic_block._pick_tiles(nx, cfg.pallas_block_k, None, ny) is not None:
+            if elastic_block._pick_tiles(nx, k_el, None, ny) is not None:
                 ref_st = cfg.compat.elastic_stencil_reference
                 return _solve_level_blocked(
-                    u, iref, imov, cfg, niter, scale, cfg.pallas_block_k,
+                    u, iref, imov, cfg, niter, scale, k_el,
                     block_fn=lambda u_est, g, d: elastic_block.elastic_block_pallas(
                         u_est, g, cfg.mu, cfg.lam, cfg.omega, ref_st,
-                        k=cfg.pallas_block_k,
+                        k=k_el,
                     ),
                     step_fn=lambda v, d: elastic_step(
                         v, d, cfg.mu, cfg.lam, cfg.omega, ref_st, "redblack"

@@ -30,7 +30,7 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 
 def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
                    tile_sc, sem, *, halo: int, tb: int, nx: int, nc: int,
-                   compose: bool):
+                   compose: bool, rolling: bool):
     i = pl.program_id(0)
 
     # One aligned DMA: padded-data rows [i*tb, i*tb + tb + 2*PAD).
@@ -65,12 +65,13 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
     # reads padded rows r + a + PAD — a sublane roll by -(a+PAD) (no wrap
     # reaches r < tb) followed by the aligned [0:tb] slice. Lane offsets b
     # are lane rolls (wrap lands only where weights/bounds mask it).
-    # With oy as the OUTER loop only lane(oy) and lane(oy+1) are ever
-    # live — the previous iteration's lane(oy+1) is reused as this
-    # iteration's lane(oy) — so the VMEM live-set holds 2 lane-rolled
-    # tiles instead of 2*halo+2 (same total roll count). The (ox, oy)
-    # masks are disjoint, so the accumulation-order change cannot alter
-    # any output element (each is written by at most one select).
+    # Two schedules, bit-identical outputs (the (ox, oy) masks are
+    # disjoint — each element is written by at most one select):
+    # - cached (ox-outer): all 2*halo+2 lane rolls stay live across the
+    #   nest; Mosaic schedules it ~16% faster when it fits scoped vmem.
+    # - rolling (oy-outer): only lane(oy) and lane(oy+1) live at any
+    #   point (the previous iteration's lane(oy+1) is reused), admitting
+    #   ~3x larger tile footprints. See demons_fused._pick_tb.
     def lane(b):
         return pltpu.roll(tile, (ny - b) % ny, 2)
 
@@ -80,17 +81,28 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
 
     z = jnp.zeros((nc, tb, ny), tile.dtype)
     g00, g10, g01, g11 = z, z, z, z
-    lane_hi = lane(-halo)
-    for oy in range(-halo, halo + 1):
-        lane_lo = lane_hi          # lane(oy)
-        lane_hi = lane(oy + 1)
-        my = ry == oy
+    if rolling:
+        lane_hi = lane(-halo)
+        for oy in range(-halo, halo + 1):
+            lane_lo = lane_hi          # lane(oy)
+            lane_hi = lane(oy + 1)
+            my = ry == oy
+            for ox in range(-halo, halo + 1):
+                m = my & (rx == ox)  # broadcasts over the channel axis
+                g00 = jnp.where(m, rolled(lane_lo, ox), g00)
+                g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
+                g01 = jnp.where(m, rolled(lane_hi, ox), g01)
+                g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
+    else:
+        lanes = {b: lane(b) for b in range(-halo, halo + 2)}
         for ox in range(-halo, halo + 1):
-            m = my & (rx == ox)  # broadcasts over the channel axis
-            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
-            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
-            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
-            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
+            mx = rx == ox
+            for oy in range(-halo, halo + 1):
+                m = mx & (ry == oy)  # broadcasts over the channel axis
+                g00 = jnp.where(m, rolled(lanes[oy], ox), g00)
+                g10 = jnp.where(m, rolled(lanes[oy], ox + 1), g10)
+                g01 = jnp.where(m, rolled(lanes[oy + 1], ox), g01)
+                g11 = jnp.where(m, rolled(lanes[oy + 1], ox + 1), g11)
 
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1
@@ -115,7 +127,8 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
 
 
 def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
-                row0=None, nx_glob=None, prepadded: bool = False):
+                row0=None, nx_glob=None, prepadded: bool = False,
+                rolling: bool | None = None):
     """``row0``/``nx_glob`` override the global row origin and global x
     extent for strip-local calls (inside shard_map); default whole-image.
     ``prepadded``: ``data`` already carries ``_PAD`` extra rows on each side
@@ -139,21 +152,12 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
         uy = jnp.pad(uy, ((0, extra), (0, 0)))
         orig = jnp.pad(orig, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    if tb <= 0:
-        # Keep cached lane rolls within ~2.6 MB of VMEM (round-2 sweep on
-        # v5e: this is the measured optimum for the demons_fused kernels —
-        # tb 8->32 cut the 2-channel compose+smooth 26%; 2.5 MB+ scratch
-        # OOM'd only for the halo-6 2-channel case, which the cap below
-        # still keeps small).
-        budget_rows = int(2.6e6 / ((2 * halo + 2) * nc * ny * 4)) - 2 * _PAD
-        tb = max(8, min(64, (budget_rows // 8) * 8))
-    if nx % tb != 0 or tb % 8 != 0:
-        start = min(tb if tb % 8 == 0 else 64, nx)
-        tb = 8
-        for cand in range(start, 7, -8):
-            if nx % cand == 0:
-                tb = cand
-                break
+    # Tile + schedule via the shared footprint model (fit on the demons
+    # kernel sweeps — same gather structure; see demons_fused._pick_tb).
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import _pick_tb
+
+    tb, auto_roll = _pick_tb(nx, ny, nc, halo, tb)
+    rolling = auto_roll if rolling is None else rolling
     if halo + 1 > _PAD:
         raise ValueError(f"halo {halo} too large for pad {_PAD}")
     nblocks = nx // tb
@@ -181,7 +185,8 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
         ],
     )
     kernel = functools.partial(
-        _gather_kernel, halo=halo, tb=tb, nx=nx_bound, nc=nc, compose=compose
+        _gather_kernel, halo=halo, tb=tb, nx=nx_bound, nc=nc, compose=compose,
+        rolling=rolling,
     )
     out = pl.pallas_call(
         kernel,
@@ -191,19 +196,23 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     return out[:, :nx_out] if extra else out
 
 
-@functools.partial(jax.jit, static_argnames=("halo", "tb"))
-def warp2d_pallas(image, u, halo: int = 2, tb: int = 0):
+@functools.partial(jax.jit, static_argnames=("halo", "tb", "rolling"))
+def warp2d_pallas(image, u, halo: int = 2, tb: int = 0,
+                  rolling: bool | None = None):
     """Bounded-displacement backward warp (``ops.warp.warp2d`` semantics),
     Pallas-fused. ``image [nx, ny]``, ``u [2, nx, ny]``."""
-    out = _run_gather(image[None], u[0], u[1], image[None], halo, tb, False)
+    out = _run_gather(image[None], u[0], u[1], image[None], halo, tb, False,
+                      rolling=rolling)
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("halo", "tb"))
-def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0):
+@functools.partial(jax.jit, static_argnames=("halo", "tb", "rolling"))
+def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0,
+                   rolling: bool | None = None):
     """Bounded-displacement motion composition (``ops.warp.compose``
     semantics), Pallas-fused. Both fields ``[2, nx, ny]``."""
-    return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True)
+    return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True,
+                       rolling=rolling)
 
 
 def warp2d_pallas_strip(image_pad, u, row0, nx_glob: int,

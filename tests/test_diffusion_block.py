@@ -233,7 +233,10 @@ def test_pick_tiles_and_invalid_raise():
     # VMEM model scales the auto tile down at wider lane extents (the flat
     # 128-row cap failed Mosaic compile at 2048^2: 17M > 16M scoped vmem).
     assert _pick_tiles(2048, 16, None, ny=2048) == (64, 16)
-    assert _pick_tiles(2048, 8, None, ny=2048) == (64, 8)
+    # k=8 tb=64 @2048 is flaky at the Mosaic limit (compiled once, later
+    # 16.77M > 16M on the same program) — the model caps pad=8 wide-lane
+    # tiles at tb=32.
+    assert _pick_tiles(2048, 8, None, ny=2048) == (32, 8)
     assert _pick_tiles(4096, 16, None, ny=4096) == (16, 16)
     assert _pick_tiles(4096, 8, None, ny=4096) == (32, 8)
     with pytest.raises(ValueError):

@@ -134,10 +134,22 @@ def test_register_blocked_elastic_matches_unblocked():
     blk = RegConfig(method=Method.ELASTIC, niter=(10,), nscales=0,
                     mu=MU, lam=LAM, use_pallas=True, pallas_block_k=4,
                     pallas_block_elastic=True)
+    # Diffusion block depth 8 with the elastic depth left on auto: the
+    # elastic path must block at min(4, pallas_block_k) = 4, not 8 (k=8
+    # tiles as (tb=pad, pad=2k) at wide lane extents — 3x pad overhead).
+    blk_auto = RegConfig(method=Method.ELASTIC, niter=(10,), nscales=0,
+                         mu=MU, lam=LAM, use_pallas=True, pallas_block_k=8,
+                         pallas_block_elastic=True)
     with pltpu.force_tpu_interpret_mode():
         want = register(iref, imov, base)
         got = register(iref, imov, blk)
+        got_auto = register(iref, imov, blk_auto)
     assert int(got.traces[0].iterations) == int(want.traces[0].iterations)
     np.testing.assert_allclose(
         np.asarray(got.motion), np.asarray(want.motion), rtol=1e-6, atol=1e-7
+    )
+    assert int(got_auto.traces[0].iterations) == int(want.traces[0].iterations)
+    np.testing.assert_allclose(
+        np.asarray(got_auto.motion), np.asarray(want.motion),
+        rtol=1e-6, atol=1e-7
     )
