@@ -186,7 +186,8 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         if blockable:
             from opticalflow2d_tpu.pallas_kernels import diffusion_block
 
-            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None, ny) is not None:
+            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None, ny,
+                                           with_errors=True) is not None:
                 from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
                     diffusion_step_pallas,
                 )

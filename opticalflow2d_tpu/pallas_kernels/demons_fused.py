@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD
 
 
-def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int, rolling: bool):
+def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int):
     """The masked-roll bilinear tap fetch on a full padded tile.
 
     ``tile [nc, rows, ny]`` (sublane row r = padded row r); ``rx, ry
@@ -55,19 +55,16 @@ def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int, rolling: bool):
     r read from padded row r + a (sublane roll; wrapped rows are masked by
     the caller's weights/bounds) and lane offset b.
 
-    Two VMEM strategies, bit-identical outputs (the (ox, oy) masks are
-    disjoint, so accumulation order cannot change any element — each is
-    written by at most one select):
-
-    - cached (``rolling=False``): all 2*halo+2 lane rolls precomputed and
-      held live. Measured ~16% faster when it fits Mosaic's 16M scoped
-      vmem (v5e, kernel A tb=64 @1024^2: 120.9 vs 143.1 us/iter).
-    - rolling (``rolling=True``): oy-outer rolling pair — only lane(oy)
-      and lane(oy+1) live at any point (same total roll count). Admits
-      ~3x larger footprints: kernel B compiles at tb=64 @1024^2 and
-      tb=8 @4096^2 where the cached form blows scoped vmem.
-
-    ``_pick_tb`` chooses per footprint; see the thresholds there.
+    oy-outer rolling pair: only lane(oy) and lane(oy+1) are live at any
+    point — 2 lane-rolled tiles in VMEM instead of the 2*halo+2 an
+    ox-outer nest keeps live (same total roll count). This admits ~3x
+    larger tile footprints (kernel B compiles at tb=64 @1024^2 and tb=8
+    @4096^2 where ox-outer blows Mosaic's 16M scoped vmem), and the
+    within-harness r4 decision sweep measured it >= the ox-outer
+    schedule everywhere both compile (deltas below the ~130 us/iter
+    tunnel-jitter floor; benchmarks/RESULTS.md round 4). Outputs are
+    bit-identical either way — the (ox, oy) masks are disjoint, so each
+    element is written by at most one select.
     """
     def lane(b):
         return pltpu.roll(tile, (ny - b) % ny, 2)
@@ -78,33 +75,21 @@ def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int, rolling: bool):
     nc = tile.shape[0]
     z = jnp.zeros((nc, rows, ny), tile.dtype)
     g00, g10, g01, g11 = z, z, z, z
-    if rolling:
-        lane_hi = lane(-halo)
-        for oy in range(-halo, halo + 1):
-            lane_lo = lane_hi          # lane(oy)
-            lane_hi = lane(oy + 1)
-            my = ry == oy
-            for ox in range(-halo, halo + 1):
-                m = my & (rx == ox)
-                g00 = jnp.where(m, rolled(lane_lo, ox), g00)
-                g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
-                g01 = jnp.where(m, rolled(lane_hi, ox), g01)
-                g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
-    else:
-        lanes = {b: lane(b) for b in range(-halo, halo + 2)}
+    lane_hi = lane(-halo)
+    for oy in range(-halo, halo + 1):
+        lane_lo = lane_hi          # lane(oy)
+        lane_hi = lane(oy + 1)
+        my = ry == oy
         for ox in range(-halo, halo + 1):
-            mx = rx == ox
-            for oy in range(-halo, halo + 1):
-                m = mx & (ry == oy)
-                g00 = jnp.where(m, rolled(lanes[oy], ox), g00)
-                g10 = jnp.where(m, rolled(lanes[oy], ox + 1), g10)
-                g01 = jnp.where(m, rolled(lanes[oy + 1], ox), g01)
-                g11 = jnp.where(m, rolled(lanes[oy + 1], ox + 1), g11)
+            m = my & (rx == ox)
+            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
+            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
+            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
+            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
     return g00, g10, g01, g11
 
 
-def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
-                   rolling: bool):
+def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int):
     """Warp/compose core on a full padded tile: global coords, weights,
     edge renormalization, floor-cell bounds — ``ops.warp._bilinear_from_taps``
     expression-for-expression. ``gi, gj [rows, ny]`` are GLOBAL coords of
@@ -122,8 +107,7 @@ def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
     rx = dxi - gi
     ry = dyi - gj
 
-    g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny,
-                                      rolling)
+    g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny)
 
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1
@@ -190,7 +174,7 @@ def _smooth_tile(f, gi_col, gj_row, taps, c: int, rows: int, tb: int,
 def _corr_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
                  iaux_sc, iref_sc, u_sc, sem0, sem1, sem2, *,
                  halo: int, c: int, taps, tb: int, nx: int, ny: int,
-                 sigma_i: float, sigma_x: float, rolling: bool):
+                 sigma_i: float, sigma_x: float):
     i = pl.program_id(0)
     rows = tb + 2 * _PAD
 
@@ -212,7 +196,7 @@ def _corr_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
     # 1. warp iaux by u on the full padded tile (warp2d semantics: OOB /
     #    zero-weight pixels keep the iaux value).
     value, weight, in_b = _bilinear_tile(iaux[None], u[0], u[1], gi, gj,
-                                         halo, nx, rolling)
+                                         halo, nx)
     ok = in_b & (weight != 0)
     safe_w = jnp.where(weight != 0, weight, 1.0)
     iwar = jnp.where(ok, value[0] / safe_w, iaux)
@@ -248,8 +232,7 @@ def _corr_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
 
 
 def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
-                    *, halo: int, c: int, taps, tb: int, nx: int, ny: int,
-                    rolling: bool):
+                    *, halo: int, c: int, taps, tb: int, nx: int, ny: int):
     i = pl.program_id(0)
     rows = tb + 2 * _PAD
 
@@ -267,8 +250,7 @@ def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
     gj = lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
 
     # compose(u, c) on the full padded tile (ops.warp.compose semantics).
-    value, weight, in_b = _bilinear_tile(u, cc[0], cc[1], gi, gj, halo, nx,
-                                         rolling)
+    value, weight, in_b = _bilinear_tile(u, cc[0], cc[1], gi, gj, halo, nx)
     safe_w = jnp.where(weight != 0, weight, 1.0)
     inc_plus = cc + jnp.where(weight != 0, value / safe_w, 0.0)
     composed = jnp.where(in_b, inc_plus, u)
@@ -280,34 +262,23 @@ def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
 
 # Empirical Mosaic scoped-vmem feasibility on v5e (halo=2 sweeps,
 # benchmarks/r4_results.jsonl), in lanes of the extended tile
-# e = tb + 2*_PAD:
-#
-# - rolling mode live-set ~ a fixed count of e-row planes: every measured
-#   compile separates on e*ny — ok at 81,920 (tb=64 @1024, A and B) and
-#   98,304 (tb=32 @2048, A and B); failed at 147,456 (tb=128 @1024) and
-#   163,840 (tb=64 @2048). Same threshold as the blocked diffusion /
-#   elastic kernels.
-# - cached mode adds the (2*halo+2) live lane rolls of the nc-channel
-#   tile: (2h+2)*nc*e*ny separates every measured compile EXACTLY at the
-#   bound — ok at 589,824 (A tb=32 @2048, A tb=8 @4096, B tb=32 @1024,
-#   B tb=8 @2048) and below (A tb=64 @1024: 491,520); failed at 983,040
-#   (A tb=128 / B tb=64 @1024) and 1,179,648 (B tb=8 @4096).
+# e = tb + 2*_PAD: the rolling-pair live-set is a fixed count of e-row
+# planes, and every measured compile separates on e*ny — ok at 81,920
+# (tb=64 @1024, kernels A and B) and 98,304 (tb=32 @2048, A and B);
+# failed at 147,456 (tb=128 @1024) and 163,840 (tb=64 @2048). Same
+# threshold as the blocked diffusion/elastic kernels. Feasible tiles
+# exist for ny <= 4096; beyond that callers must use the jnp path.
 _ROLLING_LANES = 98_304
-_CACHED_LANES = 589_824
 
 
-def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int,
-             tb: int = 0) -> tuple[int, bool]:
-    """Row tile + tap-selection mode for the fused kernels.
-
-    Returns ``(tb, rolling)``: the largest 8-aligned divisor of ``nx``
-    whose rolling-mode footprint fits scoped vmem, in cached mode when
-    the cached live-set also fits at that tile (measured ~16% faster at
-    equal tb: kernel A tb=64 @1024^2 runs 120.9 us cached vs 143.1
-    rolling, while rolling B tb=64 @1024^2 beats the largest cached-
-    feasible tile, 232.3 vs 241.6 us at tb=32). An explicit ``tb`` is
-    honored when it divides nx and is 8-aligned (mode still picked by
-    footprint); otherwise the same descending divisor search runs."""
+def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int, tb: int = 0) -> int:
+    """Row tile for the fused gather kernels: the largest 8-aligned
+    divisor of ``nx`` whose footprint fits scoped vmem. An explicit
+    ``tb`` is honored when it divides nx and is 8-aligned; otherwise the
+    same descending divisor search runs. (``nc_chain``/``halo`` kept for
+    call-site clarity; the r4 decision sweep retired the cached ox-outer
+    schedule they parameterized — rolling measured >= it everywhere both
+    compile, and it OOM'd at half the useful tiles.)"""
     if tb <= 0 or nx % tb != 0 or tb % 8 != 0:
         start = min(tb if 0 < tb and tb % 8 == 0 else 256, nx)
         tb = 8
@@ -315,9 +286,7 @@ def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int,
             if nx % cand == 0 and (cand + 2 * _PAD) * ny <= _ROLLING_LANES:
                 tb = cand
                 break
-    cached_fit = ((2 * halo + 2) * nc_chain * (tb + 2 * _PAD) * ny
-                  <= _CACHED_LANES)
-    return tb, not cached_fit
+    return tb
 
 
 def _pad_rows(a, extra: int):
@@ -333,13 +302,12 @@ def fused_supported(halo: int, kernelwidth: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "sigma_i", "sigma_x", "sigma_fluid", "kernelwidth", "halo", "tb",
-    "nx_glob", "prepadded", "rolling"))
+    "nx_glob", "prepadded"))
 def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
                                  sigma_x: float, sigma_fluid: float,
                                  kernelwidth: int, halo: int = 2,
                                  tb: int = 0, row0=None, nx_glob=None,
-                                 prepadded: bool = False,
-                                 rolling: bool | None = None):
+                                 prepadded: bool = False):
     """Fused kernel A: ``gaussian_smooth(demons_force(derivatives(iref,
     warp2d(iaux, u))), sigma_fluid)`` in one VMEM-resident pass.
     ``iaux, iref [nx, ny]``, ``u [2, nx, ny]`` -> ``[2, nx, ny]``.
@@ -366,8 +334,7 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
         iref = jnp.pad(iref, ((0, extra), (0, 0)))
         u = jnp.pad(u, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    tb, auto_roll = _pick_tb(nx, ny, 1, halo, tb)
-    rolling = auto_roll if rolling is None else rolling
+    tb = _pick_tb(nx, ny, 1, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
@@ -403,7 +370,7 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
     )
     kernel = functools.partial(
         _corr_kernel, halo=halo, c=c, taps=taps, tb=tb, nx=nx_bound, ny=ny,
-        sigma_i=sigma_i, sigma_x=sigma_x, rolling=rolling,
+        sigma_i=sigma_i, sigma_x=sigma_x,
     )
     out = pl.pallas_call(
         kernel,
@@ -414,12 +381,10 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sigma_diffusion", "kernelwidth", "halo", "tb", "nx_glob", "prepadded",
-    "rolling"))
+    "sigma_diffusion", "kernelwidth", "halo", "tb", "nx_glob", "prepadded"))
 def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
                           kernelwidth: int, halo: int = 2, tb: int = 0,
-                          row0=None, nx_glob=None, prepadded: bool = False,
-                          rolling: bool | None = None):
+                          row0=None, nx_glob=None, prepadded: bool = False):
     """Fused kernel B: ``gaussian_smooth(compose(u_total, c_inc),
     sigma_diffusion)`` in one VMEM-resident pass. Both fields
     ``[2, nx, ny]``. Contract: in-bounds floor offsets of ``c_inc`` within
@@ -442,8 +407,7 @@ def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
         u_total = jnp.pad(u_total, ((0, 0), (0, extra), (0, 0)))
         c_inc = jnp.pad(c_inc, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    tb, auto_roll = _pick_tb(nx, ny, 2, halo, tb)
-    rolling = auto_roll if rolling is None else rolling
+    tb = _pick_tb(nx, ny, 2, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
@@ -475,7 +439,6 @@ def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
     )
     kernel = functools.partial(
         _compose_kernel, halo=halo, c=c, taps=taps, tb=tb, nx=nx_bound, ny=ny,
-        rolling=rolling,
     )
     out = pl.pallas_call(
         kernel,

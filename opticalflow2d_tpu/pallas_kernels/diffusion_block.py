@@ -147,7 +147,7 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
-def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
+def _fits_vmem(tb: int, pad: int, ny: int, with_errors: bool = False) -> bool:
     """Empirical scoped-vmem feasibility for the blocked diffusion kernel.
 
     Mosaic's stack allocation isn't linear in any simple (tb, pad)
@@ -158,28 +158,43 @@ def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
     hard 16M-limit failure (k16 tb=128 @2048: 17.0M; k8 tb=128 @2048;
     k16 tb=32 @4096: 19.26M) has e*ny >= 262,144.
 
-    One measured instability below the threshold: k=8 tb=64 @ny=2048
-    (e*ny = 163,840) compiled once and later failed the same program at
-    16.77M — within 5% of the limit, Mosaic's allocation is run-to-run
-    flaky, so pad=8 tiles at wide lane extents are capped at tb=32
-    (e*ny <= 98,304, the stable region)."""
+    Two refinements from the r4 stability probes:
+    - k=8 tb=64 @ny=2048 (163,840 lanes) compiled once and later failed
+      the same program at 16.77M — within 5% of the limit Mosaic is
+      run-to-run flaky, so pad=8 tiles at wide lane extents are capped
+      at tb=32 (e*ny <= 98,304, the stable region).
+    - the Logger error sums (``with_errors=True``, what the registration
+      driver runs) add per-iteration reduction scratch and are
+      COMPILE-FLAKY at ny >= 2048 at every probed tile: k16 tb=64 @2048
+      fails at 17.54M; k8 tb=32 @2048 (98,304 lanes) compiled in two
+      runs (incl. a full e2e registration) then failed the identical
+      program at 16.77M in a third. Errors-on blocking is therefore
+      disabled at ny >= 2048 — the driver falls back to the single-step
+      kernel there (48 Gpix/s @2048, deterministic). k16 tb=128 @1024
+      (163,840 lanes) is stable with sums on."""
     if pad <= 8 and ny >= 2048 and tb > 32:
         return False
-    return (tb + 2 * pad) * ny <= 196_608
+    if with_errors and ny >= 2048:
+        return False
+    return (tb + 2 * pad) * ny <= (163_840 if with_errors else 196_608)
 
 
-def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
+def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024,
+                with_errors: bool = False):
     """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
-    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``).
-    Returns None if no fitting tiling exists (callers fall back to the
-    single-step kernel). An explicit ``tb`` is honored unchecked (expert
-    override). The auto cap stays at 128 rows — tb=128 measured fastest
-    at ny=1024 (5.9 us/iter at k=8) and larger tiles blow scoped vmem."""
+    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``;
+    pass ``with_errors=True`` when the kernel will run with the Logger
+    error sums — they tighten the wall). Returns None if no fitting
+    tiling exists (callers fall back to the single-step kernel). An
+    explicit ``tb`` is honored unchecked (expert override). The auto cap
+    stays at 128 rows — tb=128 measured fastest at ny=1024 (5.9 us/iter
+    at k=8) and larger tiles blow scoped vmem."""
     pad = ((k + 7) // 8) * 8
     if tb is not None and nx % tb == 0 and tb % pad == 0:
         return tb, pad
     for cand in range(min(128, nx), pad - 1, -pad):
-        if nx % cand == 0 and cand % pad == 0 and _fits_vmem(cand, pad, ny):
+        if nx % cand == 0 and cand % pad == 0 and \
+                _fits_vmem(cand, pad, ny, with_errors):
             return cand, pad
     return None
 
@@ -200,7 +215,7 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
     Requires a valid tiling (see ``_pick_tiles``); callers should fall back
     to the single-step kernel when this raises."""
     _, nx, ny = u.shape
-    tiles = _pick_tiles(nx, k, tb, ny)
+    tiles = _pick_tiles(nx, k, tb, ny, with_errors)
     if tiles is None:
         raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
     tb, pad = tiles

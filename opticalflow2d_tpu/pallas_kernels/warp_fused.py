@@ -30,7 +30,7 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 
 def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
                    tile_sc, sem, *, halo: int, tb: int, nx: int, nc: int,
-                   compose: bool, rolling: bool):
+                   compose: bool):
     i = pl.program_id(0)
 
     # One aligned DMA: padded-data rows [i*tb, i*tb + tb + 2*PAD).
@@ -65,13 +65,13 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
     # reads padded rows r + a + PAD — a sublane roll by -(a+PAD) (no wrap
     # reaches r < tb) followed by the aligned [0:tb] slice. Lane offsets b
     # are lane rolls (wrap lands only where weights/bounds mask it).
-    # Two schedules, bit-identical outputs (the (ox, oy) masks are
-    # disjoint — each element is written by at most one select):
-    # - cached (ox-outer): all 2*halo+2 lane rolls stay live across the
-    #   nest; Mosaic schedules it ~16% faster when it fits scoped vmem.
-    # - rolling (oy-outer): only lane(oy) and lane(oy+1) live at any
-    #   point (the previous iteration's lane(oy+1) is reused), admitting
-    #   ~3x larger tile footprints. See demons_fused._pick_tb.
+    # oy-outer rolling pair: only lane(oy) and lane(oy+1) are live at any
+    # point (the previous iteration's lane(oy+1) is reused) — ~3x larger
+    # feasible tile footprints than an ox-outer nest holding all 2*halo+2
+    # lane rolls live, and measured >= it wherever both compile (r4
+    # decision sweep, RESULTS.md round 4). Bit-identical outputs: the
+    # (ox, oy) masks are disjoint, so each element is written by at most
+    # one select.
     def lane(b):
         return pltpu.roll(tile, (ny - b) % ny, 2)
 
@@ -81,28 +81,17 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
 
     z = jnp.zeros((nc, tb, ny), tile.dtype)
     g00, g10, g01, g11 = z, z, z, z
-    if rolling:
-        lane_hi = lane(-halo)
-        for oy in range(-halo, halo + 1):
-            lane_lo = lane_hi          # lane(oy)
-            lane_hi = lane(oy + 1)
-            my = ry == oy
-            for ox in range(-halo, halo + 1):
-                m = my & (rx == ox)  # broadcasts over the channel axis
-                g00 = jnp.where(m, rolled(lane_lo, ox), g00)
-                g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
-                g01 = jnp.where(m, rolled(lane_hi, ox), g01)
-                g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
-    else:
-        lanes = {b: lane(b) for b in range(-halo, halo + 2)}
+    lane_hi = lane(-halo)
+    for oy in range(-halo, halo + 1):
+        lane_lo = lane_hi          # lane(oy)
+        lane_hi = lane(oy + 1)
+        my = ry == oy
         for ox in range(-halo, halo + 1):
-            mx = rx == ox
-            for oy in range(-halo, halo + 1):
-                m = mx & (ry == oy)  # broadcasts over the channel axis
-                g00 = jnp.where(m, rolled(lanes[oy], ox), g00)
-                g10 = jnp.where(m, rolled(lanes[oy], ox + 1), g10)
-                g01 = jnp.where(m, rolled(lanes[oy + 1], ox), g01)
-                g11 = jnp.where(m, rolled(lanes[oy + 1], ox + 1), g11)
+            m = my & (rx == ox)  # broadcasts over the channel axis
+            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
+            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
+            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
+            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
 
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1
@@ -127,8 +116,7 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
 
 
 def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
-                row0=None, nx_glob=None, prepadded: bool = False,
-                rolling: bool | None = None):
+                row0=None, nx_glob=None, prepadded: bool = False):
     """``row0``/``nx_glob`` override the global row origin and global x
     extent for strip-local calls (inside shard_map); default whole-image.
     ``prepadded``: ``data`` already carries ``_PAD`` extra rows on each side
@@ -156,8 +144,7 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     # kernel sweeps — same gather structure; see demons_fused._pick_tb).
     from opticalflow2d_tpu.pallas_kernels.demons_fused import _pick_tb
 
-    tb, auto_roll = _pick_tb(nx, ny, nc, halo, tb)
-    rolling = auto_roll if rolling is None else rolling
+    tb = _pick_tb(nx, ny, nc, halo, tb)
     if halo + 1 > _PAD:
         raise ValueError(f"halo {halo} too large for pad {_PAD}")
     nblocks = nx // tb
@@ -186,7 +173,6 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     )
     kernel = functools.partial(
         _gather_kernel, halo=halo, tb=tb, nx=nx_bound, nc=nc, compose=compose,
-        rolling=rolling,
     )
     out = pl.pallas_call(
         kernel,
@@ -196,23 +182,19 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     return out[:, :nx_out] if extra else out
 
 
-@functools.partial(jax.jit, static_argnames=("halo", "tb", "rolling"))
-def warp2d_pallas(image, u, halo: int = 2, tb: int = 0,
-                  rolling: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("halo", "tb"))
+def warp2d_pallas(image, u, halo: int = 2, tb: int = 0):
     """Bounded-displacement backward warp (``ops.warp.warp2d`` semantics),
     Pallas-fused. ``image [nx, ny]``, ``u [2, nx, ny]``."""
-    out = _run_gather(image[None], u[0], u[1], image[None], halo, tb, False,
-                      rolling=rolling)
+    out = _run_gather(image[None], u[0], u[1], image[None], halo, tb, False)
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("halo", "tb", "rolling"))
-def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0,
-                   rolling: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("halo", "tb"))
+def compose_pallas(u_total, u_inc, halo: int = 2, tb: int = 0):
     """Bounded-displacement motion composition (``ops.warp.compose``
     semantics), Pallas-fused. Both fields ``[2, nx, ny]``."""
-    return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True,
-                       rolling=rolling)
+    return _run_gather(u_total, u_inc[0], u_inc[1], u_total, halo, tb, True)
 
 
 def warp2d_pallas_strip(image_pad, u, row0, nx_glob: int,

@@ -237,6 +237,13 @@ def test_pick_tiles_and_invalid_raise():
     # 16.77M > 16M on the same program) — the model caps pad=8 wide-lane
     # tiles at tb=32.
     assert _pick_tiles(2048, 8, None, ny=2048) == (32, 8)
+    # The Logger error sums are compile-flaky at ny >= 2048 at EVERY
+    # probed tile (k8 (32,8) compiled twice then failed the identical
+    # program at 16.77M) — errors-on blocking is disabled there and the
+    # driver falls back to the single-step kernel.
+    assert _pick_tiles(2048, 16, None, ny=2048, with_errors=True) is None
+    assert _pick_tiles(2048, 8, None, ny=2048, with_errors=True) is None
+    assert _pick_tiles(1024, 16, None, ny=1024, with_errors=True) == (128, 16)
     assert _pick_tiles(4096, 16, None, ny=4096) == (16, 16)
     assert _pick_tiles(4096, 8, None, ny=4096) == (32, 8)
     with pytest.raises(ValueError):

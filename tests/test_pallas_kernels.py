@@ -282,60 +282,26 @@ def test_demons_fused_compose_smooth_matches_jnp(kw, rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pick_tb_hybrid_schedule():
-    """Pin the measured-good (tile, schedule) table: cached (ox-outer, all
-    lane rolls live) when (2h+2)*nc*(tb+16)*ny <= 589,824 lanes — every
-    measured v5e compile separates exactly at that bound — else the
-    rolling pair; tb the largest 8-aligned divisor with (tb+16)*ny <=
-    98,304 (see benchmarks/r4_results.jsonl sweeps)."""
+def test_pick_tb_footprint():
+    """Pin the fused-gather row-tile model: largest 8-aligned divisor of
+    nx with (tb+16)*ny <= 98,304 lanes — the largest measured-good
+    rolling footprint on v5e (ok at 98,304, failed at 147,456; see
+    benchmarks/r4_results.jsonl sweeps)."""
     from opticalflow2d_tpu.pallas_kernels.demons_fused import _pick_tb
 
-    assert _pick_tb(1024, 1024, 1, 2) == (64, False)   # A: cached 120.9 us
-    assert _pick_tb(1024, 1024, 2, 2) == (64, True)    # B: rolling 232.3 us
-    assert _pick_tb(2048, 2048, 1, 2) == (32, False)
-    assert _pick_tb(2048, 2048, 2, 2) == (32, True)
-    assert _pick_tb(4096, 4096, 1, 2) == (8, False)
-    assert _pick_tb(4096, 4096, 2, 2) == (8, True)     # old cached form OOM'd
-    # Explicit valid tb honored; mode still footprint-picked.
-    assert _pick_tb(1024, 1024, 2, 2, tb=32) == (32, False)
+    assert _pick_tb(1024, 1024, 1, 2) == 64
+    assert _pick_tb(1024, 1024, 2, 2) == 64
+    assert _pick_tb(2048, 2048, 2, 2) == 32
+    assert _pick_tb(4096, 4096, 2, 2) == 8    # the old schedule OOM'd here
+    # Explicit valid tb honored.
+    assert _pick_tb(1024, 1024, 2, 2, tb=32) == 32
     # Invalid explicit tb re-searched downward within the footprint cap
     # (tb=120 would be 139,264 lanes — past the measured-good wall).
-    assert _pick_tb(120, 1024, 1, 2, tb=256) == (40, False)
+    assert _pick_tb(120, 1024, 1, 2, tb=256) == 40
     for nx in (64, 120, 1000, 4096):
         for ny in (128, 2048, 4096):
-            tb, _ = _pick_tb(nx, ny, 2, 2)
+            tb = _pick_tb(nx, ny, 2, 2)
             assert nx % tb == 0 and tb % 8 == 0
-
-
-def test_demons_fused_schedules_bit_identical(rng):
-    """Cached (ox-outer) and rolling (oy-outer pair) tap schedules must
-    produce bit-identical kernels: the (ox, oy) masks are disjoint, so
-    accumulation order cannot change any element. Same for the warp
-    gather kernels."""
-    from opticalflow2d_tpu.pallas_kernels import demons_fused as df
-    from opticalflow2d_tpu.pallas_kernels import warp_fused as wf
-
-    nx, ny = 64, 48
-    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
-    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
-    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)) * 1.8)
-    c = u * 0.1
-
-    with pltpu.force_tpu_interpret_mode():
-        for roll in (False, True):
-            got = (
-                df.demons_correspondence_pallas(
-                    iaux, iref, u, 1.0, 0.25, 2.0, 5, halo=2, rolling=roll),
-                df.compose_smooth_pallas(u, c, 2.0, 5, halo=2, rolling=roll),
-                wf.warp2d_pallas(iaux, u, halo=2, rolling=roll),
-                wf.compose_pallas(u, c, halo=2, rolling=roll),
-            )
-            if roll:
-                for want_arr, got_arr in zip(want, got):
-                    np.testing.assert_array_equal(
-                        np.asarray(want_arr), np.asarray(got_arr))
-            else:
-                want = got
 
 
 def test_demons_fused_ragged_rows(rng):
