@@ -70,16 +70,19 @@ def _diffusion_kernel(u_c_ref, u_up_ref, u_dn_ref, gx_ref, gy_ref, it_ref,
 
 
 def _pick_tb_single(nx: int, ny: int, tb: int = 0) -> int:
-    """Row tile for the single-step kernel. ``tb=0`` scales with the lane
-    extent: the kernel's VMEM live-set is ~12 planes of the extended tile
-    ``(tb+16, ny)``, so the largest compilable tile satisfies
-    ``(tb+16)*ny <= 294,912`` lanes (measured on v5e: tb=256@1024 and
-    tb=128@2048 — exactly at the bound — compile and run; tb=256@2048
-    and tb=64@4096 blow Mosaic's 16M scoped vmem). An explicit ``tb``
-    must satisfy ``nx % tb == 0`` and ``tb % 8 == 0`` or the same
-    descending divisor search runs from it."""
+    """Row tile for the single-step kernel. ``tb=0`` uses per-lane-extent
+    caps with margin against Mosaic's 16M scoped-vmem wall: tb=256@1024
+    has compiled stably across rounds; tb=128@2048 sits exactly at the
+    (tb+16)*ny = 294,912-lane wall and proved run-to-run flaky (compiled
+    standalone at 87.5 us/iter, then an identical registration program
+    failed to compile — near the limit Mosaic allocation is
+    nondeterministic, see diffusion_block._fits_vmem), so wide-lane caps
+    back off to the stable tiles: tb<=64 @2048 (102.3 us measured),
+    tb<=32 @>=4096 (1050.1 us). An explicit ``tb`` must satisfy
+    ``nx % tb == 0`` and ``tb % 8 == 0`` or the same descending divisor
+    search runs from it."""
     if tb <= 0:
-        tb = max(8, min(256, ((294912 // ny - 16) // 8) * 8))
+        tb = 256 if ny <= 1024 else (64 if ny <= 2048 else 32)
     if nx % tb != 0 or tb % 8 != 0:
         start = min(tb if tb % 8 == 0 else 256, nx)
         tb = 8

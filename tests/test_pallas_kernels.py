@@ -28,17 +28,19 @@ def test_diffusion_pallas_matches_jnp(shape, tb, rng):
 
 
 def test_single_step_tb_scales_with_lane_extent():
-    """The auto row tile must respect the measured (tb+16)*ny <= 294,912
-    scoped-vmem wall (tb=256@2048 / tb=64@4096 failed Mosaic compile on
-    v5e; tb=128@2048 / tb=32@4096 measured good)."""
+    """The auto row tile must stay in the stable region of Mosaic's
+    scoped-vmem wall: tb=256@2048 / tb=64@4096 failed compile on v5e, and
+    tb=128@2048 — exactly at the (tb+16)*ny = 294,912-lane wall — proved
+    run-to-run flaky (compiled standalone, failed inside a registration
+    program), so wide-lane caps back off to the measured-stable tiles."""
     from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
         _pick_tb_single)
 
     assert _pick_tb_single(1024, 1024) == 256
-    assert _pick_tb_single(2048, 2048) == 128
-    assert _pick_tb_single(4096, 4096) == 32  # cap 56 -> largest divisor
+    assert _pick_tb_single(2048, 2048) == 64
+    assert _pick_tb_single(4096, 4096) == 32
     # Explicit tb is honored when valid, re-searched when not.
-    assert _pick_tb_single(2048, 2048, tb=64) == 64
+    assert _pick_tb_single(2048, 2048, tb=128) == 128
     assert _pick_tb_single(120, 1024, tb=256) == 120
     # Every pick divides nx and is 8-aligned.
     for nx in (64, 120, 256, 1000, 4096):
