@@ -175,22 +175,27 @@ def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0,
     """
     px, py = _sample_coords(u)
     if halo > 0 and use_pallas:
-        from opticalflow2d_tpu.pallas_kernels.warp_fused import warp2d_pallas
+        from opticalflow2d_tpu.pallas_kernels.warp_fused import (
+            warp2d_pallas, gather_feasible)
 
-        def fast(_):
-            return warp2d_pallas(image, u, halo=halo)
+        if gather_feasible(image.shape[1], halo):
+            def fast(_):
+                return warp2d_pallas(image, u, halo=halo)
 
-        def exact(_):
-            value, weight, in_bounds = _bilinear_from_taps(
-                image[None], px, py, _gather_taps_exact
+            def exact(_):
+                value, weight, in_bounds = _bilinear_from_taps(
+                    image[None], px, py, _gather_taps_exact
+                )
+                ok = in_bounds & (weight != 0)
+                safe_w = jnp.where(weight != 0, weight, 1.0)
+                return jnp.where(ok, value[0] / safe_w, image)
+
+            return jax.lax.cond(
+                _displacement_bounded(image[None], px, py, halo), fast, exact,
+                None
             )
-            ok = in_bounds & (weight != 0)
-            safe_w = jnp.where(weight != 0, weight, 1.0)
-            return jnp.where(ok, value[0] / safe_w, image)
-
-        return jax.lax.cond(
-            _displacement_bounded(image[None], px, py, halo), fast, exact, None
-        )
+        # No stable Pallas tile at this (lane extent, halo) — fall through
+        # to the XLA roll path below (identical semantics).
     value, weight, in_bounds = _bilinear_gather(image[None], px, py, halo)
     value = value[0]
     ok = in_bounds & (weight != 0)
@@ -210,23 +215,27 @@ def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0,
     """
     px, py = _sample_coords(u_inc)
     if halo > 0 and use_pallas:
-        from opticalflow2d_tpu.pallas_kernels.warp_fused import compose_pallas
+        from opticalflow2d_tpu.pallas_kernels.warp_fused import (
+            compose_pallas, gather_feasible)
 
-        def fast(_):
-            return compose_pallas(u_total, u_inc, halo=halo)
+        if gather_feasible(u_total.shape[2], halo):
+            def fast(_):
+                return compose_pallas(u_total, u_inc, halo=halo)
 
-        def exact(_):
-            value, weight, in_bounds = _bilinear_from_taps(
-                u_total, px, py, _gather_taps_exact
+            def exact(_):
+                value, weight, in_bounds = _bilinear_from_taps(
+                    u_total, px, py, _gather_taps_exact
+                )
+                safe_w = jnp.where(weight != 0, weight, 1.0)
+                warped = value / safe_w
+                inc_plus = u_inc + jnp.where(weight != 0, warped, 0.0)
+                return jnp.where(in_bounds[None], inc_plus, u_total)
+
+            return jax.lax.cond(
+                _displacement_bounded(u_total, px, py, halo), fast, exact,
+                None
             )
-            safe_w = jnp.where(weight != 0, weight, 1.0)
-            warped = value / safe_w
-            inc_plus = u_inc + jnp.where(weight != 0, warped, 0.0)
-            return jnp.where(in_bounds[None], inc_plus, u_total)
-
-        return jax.lax.cond(
-            _displacement_bounded(u_total, px, py, halo), fast, exact, None
-        )
+        # No stable Pallas tile here — XLA roll path below.
     value, weight, in_bounds = _bilinear_gather(u_total, px, py, halo)
     safe_w = jnp.where(weight != 0, weight, 1.0)
     warped = value / safe_w

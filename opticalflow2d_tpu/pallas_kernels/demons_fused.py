@@ -43,6 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
 from opticalflow2d_tpu.pallas_kernels.warp_fused import _PAD
 
 
@@ -260,33 +261,61 @@ def _compose_kernel(row0_ref, u_hbm, c_hbm, out_ref, u_sc, c_sc, sem0, sem1,
     )
 
 
-# Empirical Mosaic scoped-vmem feasibility on v5e (halo=2 sweeps,
-# benchmarks/r4_results.jsonl), in lanes of the extended tile
-# e = tb + 2*_PAD: the rolling-pair live-set is a fixed count of e-row
-# planes, and every measured compile separates on e*ny — ok at 81,920
-# (tb=64 @1024, kernels A and B) and 98,304 (tb=32 @2048, A and B);
-# failed at 147,456 (tb=128 @1024) and 163,840 (tb=64 @2048). Same
-# threshold as the blocked diffusion/elastic kernels. Feasible tiles
-# exist for ny <= 4096; beyond that callers must use the jnp path.
-_ROLLING_LANES = 98_304
+# Measured (tile cap, vmem limit) tables, TPU v5e (benchmarks/
+# r4_results.jsonl, the `race_*` within-run tier races; see
+# pallas_kernels.__init__ for the scoped-vmem policy). Larger tiles need
+# a raised Mosaic limit (measured stacks up to ~25M at halo 2, ~87M at
+# halo 4/tb 64/ny 4096) but win big — the full fused step at 4096^2 runs
+# 7.6 ms at (tb=64, 64M) vs 14.5 ms at the largest default-limit tile;
+# kernel B @1024^2 runs 168.0 us at (256, 48M) vs 233.0 at (64, default).
+# Keys: lane-extent tier -> (tile cap, vmem_limit_bytes | None).
+_TIERS_H2 = ((1024, 256, 48 * MB), (2048, 128, 48 * MB),
+             (4096, 64, 64 * MB))
+# halo >= 3 triples the live temporaries (81 tap masks vs 25); tb=64
+# @4096 needs ~87M — past the runtime-penalty-free limit range — so the
+# cap drops a tile instead (validated: A/B (tb=32, 64M) @4096 compile).
+_TIERS_WIDE = ((1024, 128, 48 * MB), (2048, 64, 64 * MB),
+               (4096, 32, 64 * MB))
 
 
-def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int, tb: int = 0) -> int:
-    """Row tile for the fused gather kernels: the largest 8-aligned
-    divisor of ``nx`` whose footprint fits scoped vmem. An explicit
-    ``tb`` is honored when it divides nx and is 8-aligned; otherwise the
-    same descending divisor search runs. (``nc_chain``/``halo`` kept for
-    call-site clarity; the r4 decision sweep retired the cached ox-outer
-    schedule they parameterized — rolling measured >= it everywhere both
-    compile, and it OOM'd at half the useful tiles.)"""
+def _tier(ny: int, halo: int):
+    for cap_ny, tb_cap, limit in (_TIERS_H2 if halo <= 2 else _TIERS_WIDE):
+        if ny <= cap_ny:
+            return tb_cap, limit
+    return None
+
+
+def fused_feasible(nx: int, ny: int, halo: int) -> bool:
+    """True when the fused demons kernels have a measured-stable
+    (tile, vmem-limit) configuration at this shape; callers fall back to
+    the op-chain step (lighter pallas gathers) otherwise."""
+    return _tier(ny, halo) is not None
+
+
+def _pick_tb(nx: int, ny: int, nc_chain: int, halo: int,
+             tb: int = 0) -> tuple[int, int | None]:
+    """Row tile + Mosaic vmem limit for the fused gather kernels: the
+    largest 8-aligned divisor of ``nx`` within the lane tier's cap, with
+    the tier's measured limit. An explicit ``tb`` is honored when it
+    divides nx and is 8-aligned; otherwise the same descending divisor
+    search runs. (``nc_chain`` kept for call-site clarity; the r4
+    decision sweep retired the cached ox-outer schedule it
+    parameterized.)"""
+    tier = _tier(ny, halo)
+    tb_cap, limit = tier if tier is not None else (8, 64 * MB)
+    # The 2-channel kernel (compose+smooth) carries double the gather
+    # temporaries: at halo 4 / ny 4096 its tb=32 stack measured 72.35M
+    # (past the runtime-neutral limit range), so it halves the tile.
+    if halo >= 3 and ny > 2048 and nc_chain >= 2:
+        tb_cap = min(tb_cap, 16)
     if tb <= 0 or nx % tb != 0 or tb % 8 != 0:
-        start = min(tb if 0 < tb and tb % 8 == 0 else 256, nx)
+        start = min(tb if 0 < tb and tb % 8 == 0 else tb_cap, nx)
         tb = 8
         for cand in range(start, 7, -8):
-            if nx % cand == 0 and (cand + 2 * _PAD) * ny <= _ROLLING_LANES:
+            if nx % cand == 0:
                 tb = cand
                 break
-    return tb
+    return tb, limit
 
 
 def _pad_rows(a, extra: int):
@@ -334,7 +363,7 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
         iref = jnp.pad(iref, ((0, extra), (0, 0)))
         u = jnp.pad(u, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    tb = _pick_tb(nx, ny, 1, halo, tb)
+    tb, vmem_limit = _pick_tb(nx, ny, 1, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
@@ -375,6 +404,7 @@ def demons_correspondence_pallas(iaux, iref, u, sigma_i: float,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype),
     )(row0, iaux_p, iref_p, u_p)
     return out[:, :nx_out] if extra else out
@@ -407,7 +437,7 @@ def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
         u_total = jnp.pad(u_total, ((0, 0), (0, extra), (0, 0)))
         c_inc = jnp.pad(c_inc, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    tb = _pick_tb(nx, ny, 2, halo, tb)
+    tb, vmem_limit = _pick_tb(nx, ny, 2, halo, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
@@ -443,6 +473,7 @@ def compose_smooth_pallas(u_total, c_inc, sigma_diffusion: float,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=jax.ShapeDtypeStruct((2, nx, ny), u_total.dtype),
     )(row0, u_p, c_p)
     return out[:, :nx_out] if extra else out

@@ -34,6 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
+
 
 def stack_derivs(grad_i: jnp.ndarray, it_img: jnp.ndarray) -> jnp.ndarray:
     """Pack (gx, gy, It) into one ``[3, nx, ny]`` array so the kernel loads
@@ -147,55 +149,50 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
-def _fits_vmem(tb: int, pad: int, ny: int, with_errors: bool = False) -> bool:
-    """Empirical scoped-vmem feasibility for the blocked diffusion kernel.
+# Measured (tile cap, vmem limit) tiers (TPU v5e, the `race_*` within-run
+# tier races in benchmarks/r4_results.jsonl; scoped-vmem policy in
+# pallas_kernels.__init__). Mosaic's default 16M budget was compile-FLAKY
+# for this kernel at ny >= 2048 (identical programs measured 16.77-17.54M
+# on retry after compiling fine); the raised limits carry ~2x margin and
+# are runtime-neutral. With the limits, errors-on blocking at (128, 48M)
+# @2048 measures 76.5 (k8) / 83.5 (k16) us/iter vs 119-123 for the
+# single-step fallback, and (64, 64M) @4096 measures 421.1 vs 1387.2.
+# Keys: lane tier -> (tb cap, vmem_limit | None), split by error sums
+# (they add per-iteration reduction scratch).
+_TIERS_ERR = ((1024, 128, None), (2048, 128, 48 * MB), (4096, 64, 64 * MB))
+_TIERS_NOERR = ((1024, 128, None), (2048, 64, 32 * MB), (4096, 64, 64 * MB))
 
-    Mosaic's stack allocation isn't linear in any simple (tb, pad)
-    combination, but measured compiles mostly separate on the
-    extended-tile footprint ``e*ny`` (e = tb + 2*pad): known-good configs
-    (k8/k16 tb=128 @ny=1024; k16 tb=64 @ny=2048; k8 tb=32 / k16 tb=16
-    @ny=4096, bit-checked) all have e*ny <= 196,608 lanes, and every
-    hard 16M-limit failure (k16 tb=128 @2048: 17.0M; k8 tb=128 @2048;
-    k16 tb=32 @4096: 19.26M) has e*ny >= 262,144.
 
-    Two refinements from the r4 stability probes:
-    - k=8 tb=64 @ny=2048 (163,840 lanes) compiled once and later failed
-      the same program at 16.77M — within 5% of the limit Mosaic is
-      run-to-run flaky, so pad=8 tiles at wide lane extents are capped
-      at tb=32 (e*ny <= 98,304, the stable region).
-    - the Logger error sums (``with_errors=True``, what the registration
-      driver runs) add per-iteration reduction scratch and are
-      COMPILE-FLAKY at ny >= 2048 at every probed tile: k16 tb=64 @2048
-      fails at 17.54M; k8 tb=32 @2048 (98,304 lanes) compiled in two
-      runs (incl. a full e2e registration) then failed the identical
-      program at 16.77M in a third. Errors-on blocking is therefore
-      disabled at ny >= 2048 — the driver falls back to the single-step
-      kernel there (48 Gpix/s @2048, deterministic). k16 tb=128 @1024
-      (163,840 lanes) is stable with sums on."""
-    if pad <= 8 and ny >= 2048 and tb > 32:
-        return False
-    if with_errors and ny >= 2048:
-        return False
-    return (tb + 2 * pad) * ny <= (163_840 if with_errors else 196_608)
+def _tier(ny: int, with_errors: bool):
+    for cap_ny, tb_cap, limit in (_TIERS_ERR if with_errors
+                                  else _TIERS_NOERR):
+        if ny <= cap_ny:
+            return tb_cap, limit
+    return None
 
 
 def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024,
                 with_errors: bool = False):
-    """Pick (tb, pad): pad = k rounded up to the sublane tile (8), tb a
-    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``;
-    pass ``with_errors=True`` when the kernel will run with the Logger
-    error sums — they tighten the wall). Returns None if no fitting
-    tiling exists (callers fall back to the single-step kernel). An
-    explicit ``tb`` is honored unchecked (expert override). The auto cap
-    stays at 128 rows — tb=128 measured fastest at ny=1024 (5.9 us/iter
-    at k=8) and larger tiles blow scoped vmem."""
+    """Pick (tb, pad, vmem_limit): pad = k rounded up to the sublane tile
+    (8), tb a multiple of pad dividing nx within the lane tier's cap.
+    Returns None when no tiling exists — callers fall back to the
+    single-step kernel. An explicit ``tb`` is honored unchecked (expert
+    override; it gets the tier's limit, or 64M past the table)."""
     pad = ((k + 7) // 8) * 8
+    tier = _tier(ny, with_errors)
+    tb_cap, limit = tier if tier is not None else (None, 64 * MB)
     if tb is not None and nx % tb == 0 and tb % pad == 0:
-        return tb, pad
-    for cand in range(min(128, nx), pad - 1, -pad):
-        if nx % cand == 0 and cand % pad == 0 and \
-                _fits_vmem(cand, pad, ny, with_errors):
-            return cand, pad
+        return tb, pad, limit
+    if tb_cap is None:
+        return None
+    # k=16 at 4096^2 without sums prefers the smaller tile (205.7 us/iter
+    # at tb=32/32M vs 294.0 at tb=64 — the 24-row pad makes the bigger
+    # tile's extended block overflow a cache level).
+    if not with_errors and ny >= 4096 and pad >= 16:
+        tb_cap = min(tb_cap, 32)
+    for cand in range(min(tb_cap, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0:
+            return cand, pad, limit
     return None
 
 
@@ -218,7 +215,7 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
     tiles = _pick_tiles(nx, k, tb, ny, with_errors)
     if tiles is None:
         raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
-    tb, pad = tiles
+    tb, pad, vmem_limit = tiles
     nblocks = nx // tb
     r = tb // pad          # halo index stride, in pad-row blocks
     last = nx // pad - 1   # last pad-block index
@@ -256,6 +253,7 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
     u_k, diff_p, prev_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=[
             jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
             jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
@@ -274,16 +272,21 @@ def required_pad(k: int) -> int:
     return ((k + 7) // 8) * 8
 
 
-def _pick_tb_strip(nxl: int, tb: int | None, ny: int = 1024, pad: int = 8):
+def _pick_tb_strip(nxl: int, tb: int | None, ny: int = 1024, pad: int = 8,
+                   with_errors: bool = True):
     """Strip tiling only needs 8 | tb | nxl (manual DMA has no pad-multiple
-    constraint). None if nxl has no 8-aligned divisor inside the VMEM
-    model (same ``_fits_vmem`` shape as the whole-image kernel — the strip
-    scratch streams the same planes)."""
+    constraint). Returns (tb, vmem_limit) from the same measured tier
+    table as the whole-image kernel (the strip scratch streams the same
+    planes), or None when no 8-aligned divisor fits the tier cap."""
+    tier = _tier(ny, with_errors)
+    tb_cap, limit = tier if tier is not None else (None, 64 * MB)
     if tb is not None and nxl % tb == 0 and tb % 8 == 0:
-        return tb
-    for cand in range(min(128, nxl), 7, -8):
-        if nxl % cand == 0 and _fits_vmem(cand, pad, ny):
-            return cand
+        return tb, limit
+    if tb_cap is None:
+        return None
+    for cand in range(min(tb_cap, nxl), 7, -8):
+        if nxl % cand == 0:
+            return cand, limit
     return None
 
 
@@ -304,9 +307,10 @@ def diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb, ny, pad)
-    if tb is None:
+    tiles = _pick_tb_strip(nxl, tb, ny, pad, with_errors)
+    if tiles is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
+    tb, vmem_limit = tiles
     nblocks = nxl // tb
     e = tb + 2 * pad
 
@@ -338,6 +342,7 @@ def diffusion_block_strip(u_pad, g_pad, row0, nx_glob, alpha: float,
     u_k, diff_p, prev_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=[
             jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
             jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),

@@ -26,6 +26,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
+
 
 def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, mu: float,
                 lam: float, omega: float, reference_stencil: bool, k: int,
@@ -150,29 +152,37 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
                 nx=scal_ref[1], with_errors=with_errors)
 
 
-def _fits_vmem(tb: int, pad: int, ny: int) -> bool:
-    """Empirical scoped-vmem feasibility for the blocked elastic kernel,
-    on the extended-tile footprint ``e*ny`` like the diffusion model but
-    with a tighter threshold (the 24 candidate rolls roughly double the
-    live temporaries): known-good tb=64 @ny=1024 at k=4/8 have e*ny of
-    81,920 / 98,304 lanes; the measured 21.85M failure (tb=128, pad=8,
-    ny=1024) has 147,456. Threshold at the largest measured-good
-    footprint."""
-    return (tb + 2 * pad) * ny <= 98_304
+# Measured (tile cap, vmem limit) tiers (TPU v5e, `race_*`/`v100_*` rows
+# in benchmarks/r4_results.jsonl; scoped-vmem policy in
+# pallas_kernels.__init__): tb=128 @1024 (72.7 us/iter vs 86.0 at the old
+# 16M-feasible tb=64), tb=64 @2048 (318.5 vs 381.9 at tb=32), tb=64
+# @4096 at 48M (1495.2 vs 2825.6 at the default-limit tb=8 — 1.9x).
+_TIERS = ((1024, 128, 48 * MB), (2048, 64, 32 * MB), (4096, 64, 48 * MB))
+
+
+def _tier(ny: int):
+    for cap_ny, tb_cap, limit in _TIERS:
+        if ny <= cap_ny:
+            return tb_cap, limit
+    return None
 
 
 def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024):
-    """Pick (tb, pad): the per-iteration cone is 2 rows (red + black
-    half-sweeps), so pad = 2k rounded up to the sublane tile (8); tb a
-    multiple of pad dividing nx, within the VMEM model (``_fits_vmem``).
-    None if no fitting tiling exists (callers fall back to
-    ``elastic_step``)."""
+    """Pick (tb, pad, vmem_limit): the per-iteration cone is 2 rows (red +
+    black half-sweeps), so pad = 2k rounded up to the sublane tile (8);
+    tb a multiple of pad dividing nx within the lane tier's cap. None if
+    no fitting tiling exists (callers fall back to ``elastic_step``). An
+    explicit ``tb`` is honored unchecked (expert override)."""
     pad = ((2 * k + 7) // 8) * 8
+    tier = _tier(ny)
+    tb_cap, limit = tier if tier is not None else (None, 64 * MB)
     if tb is not None and nx % tb == 0 and tb % pad == 0:
-        return tb, pad
-    for cand in range(min(64, nx), pad - 1, -pad):
-        if nx % cand == 0 and cand % pad == 0 and _fits_vmem(cand, pad, ny):
-            return cand, pad
+        return tb, pad, limit
+    if tb_cap is None:
+        return None
+    for cand in range(min(tb_cap, nx), pad - 1, -pad):
+        if nx % cand == 0 and cand % pad == 0:
+            return cand, pad, limit
     return None
 
 
@@ -194,7 +204,7 @@ def elastic_block_pallas(u, g, mu: float, lam: float, omega: float,
     tiles = _pick_tiles(nx, k, tb, ny)
     if tiles is None:
         raise ValueError(f"no valid row tiling for nx={nx}, k={k}")
-    tb, pad = tiles
+    tb, pad, vmem_limit = tiles
     nblocks = nx // tb
     r = tb // pad
     last = nx // pad - 1
@@ -231,6 +241,7 @@ def elastic_block_pallas(u, g, mu: float, lam: float, omega: float,
     u_k, diff_p, prev_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=[
             jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
             jax.ShapeDtypeStruct((nblocks, k, ny), u.dtype),
@@ -270,9 +281,10 @@ def elastic_block_strip(u_pad, g_pad, row0, nx_glob, mu: float, lam: float,
     pad = required_pad(k)
     nc, nxp, ny = u_pad.shape
     nxl = nxp - 2 * pad
-    tb = _pick_tb_strip(nxl, tb, ny, pad)
-    if tb is None:
+    tiles = _pick_tb_strip(nxl, tb, ny, pad, with_errors)
+    if tiles is None:
         raise ValueError(f"no valid strip tiling for nxl={nxl}")
+    tb, vmem_limit = tiles
     nblocks = nxl // tb
     e = tb + 2 * pad
 
@@ -305,6 +317,7 @@ def elastic_block_strip(u_pad, g_pad, row0, nx_glob, mu: float, lam: float,
     u_k, diff_p, prev_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=[
             jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
             jax.ShapeDtypeStruct((nblocks, k, ny), u_pad.dtype),

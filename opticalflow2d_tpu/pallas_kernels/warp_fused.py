@@ -25,7 +25,34 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
+
 _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
+
+# Measured (tile cap, vmem limit) tiers for the gather kernels (TPU v5e,
+# benchmarks/r4_results.jsonl `race_*`/`v100_*` rows; scoped-vmem policy in
+# pallas_kernels.__init__): lane-extent tier -> (tb cap, limit | None).
+# halo <= 2: tb=128 @1024 (72.1 us vs 85.5 at 64), tb=32 @2048 (272.7),
+# tb=16 @4096 (2179.0 vs 2519.0 at the default-limit tb=8). halo >= 3
+# triples the live temporaries: tb=32 is both the stable and the fastest
+# tile @1024 (150.9 vs 185.9 at 64); wider extents need the raised limit
+# (the @4096 halo-4 gather failed at 21.3M under the default budget).
+_TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB))
+_TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB))
+
+
+def _tier(ny: int, halo: int):
+    for cap_ny, tb_cap, limit in (_TIERS_H2 if halo <= 2 else _TIERS_WIDE):
+        if ny <= cap_ny:
+            return tb_cap, limit
+    return None
+
+
+def gather_feasible(ny: int, halo: int) -> bool:
+    """True when the Pallas gather has a measured-stable (tile, vmem
+    limit) configuration at this lane extent (ny <= 4096). Callers
+    (``ops.warp.warp2d``/``compose``) take the jnp roll path otherwise."""
+    return _tier(ny, halo) is not None
 
 
 def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
@@ -140,11 +167,18 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
         uy = jnp.pad(uy, ((0, extra), (0, 0)))
         orig = jnp.pad(orig, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    # Tile + schedule via the shared footprint model (fit on the demons
-    # kernel sweeps — same gather structure; see demons_fused._pick_tb).
-    from opticalflow2d_tpu.pallas_kernels.demons_fused import _pick_tb
-
-    tb = _pick_tb(nx, ny, nc, halo, tb)
+    # Row tile + vmem limit from the measured tier table above;
+    # ``gather_feasible`` tells callers when no tier exists, so they can
+    # take the jnp roll path instead.
+    tier = _tier(ny, halo)
+    tb_cap, vmem_limit = tier if tier is not None else (8, 64 * MB)
+    if tb <= 0 or nx % tb != 0 or tb % 8 != 0:
+        start = min(tb if 0 < tb and tb % 8 == 0 else tb_cap, nx)
+        tb = 8
+        for cand in range(start, 7, -8):
+            if nx % cand == 0:
+                tb = cand
+                break
     if halo + 1 > _PAD:
         raise ValueError(f"halo {halo} too large for pad {_PAD}")
     nblocks = nx // tb
@@ -177,6 +211,7 @@ def _run_gather(data, ux, uy, orig, halo: int, tb: int, compose: bool,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
         out_shape=jax.ShapeDtypeStruct((nc, nx, ny), data.dtype),
     )(row0, data_pad, ux, uy, orig)
     return out[:, :nx_out] if extra else out

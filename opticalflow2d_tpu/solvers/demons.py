@@ -52,7 +52,8 @@ def make_demons_step(
 ):
     """Build the demons step ``(u, iref, imov) -> u``. ``imov`` is the
     refinement-level warped moving image (the reference's ``Iaux``)."""
-    from opticalflow2d_tpu.pallas_kernels.demons_fused import fused_supported
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        fused_supported, fused_feasible)
 
     use_fused = (
         use_pallas
@@ -62,12 +63,19 @@ def make_demons_step(
     )
 
     if use_fused:
-        return _make_fused_step(
+        fused = _make_fused_step(
             sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
             diffeomorphic, accumulation, maxabs_bug, warp_halo,
         )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
+        # Shape gate evaluated at trace time: the fused kernels need a
+        # measured (tile, vmem-limit) tier at this (ny, halo) — tiers
+        # cover ny <= 4096 (demons_fused._pick_tb) — otherwise run the
+        # op-chain step below (its warps/composes use the lighter pallas
+        # gather, or the XLA roll path past ITS tiers).
+        if use_fused and fused_feasible(u.shape[1], u.shape[2], warp_halo):
+            return fused(u, iref, imov)
         iwar = warp2d(imov, u, warp_halo, use_pallas)
         d = derivatives(iref, iwar)
         c = demons_force(d, sigma_i, sigma_x)

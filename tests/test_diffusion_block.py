@@ -225,27 +225,33 @@ def test_register_blocked_pyramid_and_fallback():
 
 
 def test_pick_tiles_and_invalid_raise():
-    assert _pick_tiles(1024, 8, None) == (128, 8)
-    assert _pick_tiles(1024, 16, 128) == (128, 16)
-    assert _pick_tiles(1024, 9, None) == (128, 16)
-    assert _pick_tiles(1024, 8, 256) == (256, 8)  # explicit tb still allowed
+    from opticalflow2d_tpu.pallas_kernels import MB
+
+    assert _pick_tiles(1024, 8, None) == (128, 8, None)
+    assert _pick_tiles(1024, 16, 128) == (128, 16, None)
+    assert _pick_tiles(1024, 9, None) == (128, 16, None)
+    # explicit tb still allowed (tier vmem limit rides along)
+    assert _pick_tiles(1024, 8, 256) == (256, 8, None)
     assert _pick_tiles(12, 8, None) is None  # 12 not divisible by 8
-    # VMEM model scales the auto tile down at wider lane extents (the flat
-    # 128-row cap failed Mosaic compile at 2048^2: 17M > 16M scoped vmem).
-    assert _pick_tiles(2048, 16, None, ny=2048) == (64, 16)
-    # k=8 tb=64 @2048 is flaky at the Mosaic limit (compiled once, later
-    # 16.77M > 16M on the same program) — the model caps pad=8 wide-lane
-    # tiles at tb=32.
-    assert _pick_tiles(2048, 8, None, ny=2048) == (32, 8)
-    # The Logger error sums are compile-flaky at ny >= 2048 at EVERY
-    # probed tile (k8 (32,8) compiled twice then failed the identical
-    # program at 16.77M) — errors-on blocking is disabled there and the
-    # driver falls back to the single-step kernel.
-    assert _pick_tiles(2048, 16, None, ny=2048, with_errors=True) is None
-    assert _pick_tiles(2048, 8, None, ny=2048, with_errors=True) is None
-    assert _pick_tiles(1024, 16, None, ny=1024, with_errors=True) == (128, 16)
-    assert _pick_tiles(4096, 16, None, ny=4096) == (16, 16)
-    assert _pick_tiles(4096, 8, None, ny=4096) == (32, 8)
+    # Wider lane extents pick smaller tiles + raised Mosaic vmem limits
+    # (the measured tier table; Mosaic's default 16M budget was
+    # compile-FLAKY at ny >= 2048 — see pallas_kernels.__init__).
+    assert _pick_tiles(2048, 16, None, ny=2048) == (64, 16, 32 * MB)
+    assert _pick_tiles(2048, 8, None, ny=2048) == (64, 8, 32 * MB)
+    # Error sums add reduction scratch -> their own tier (48M @2048):
+    # measured 76.5 (k8) / 83.5 (k16) us/iter vs 119-123 for the
+    # single-step fallback.
+    assert _pick_tiles(2048, 16, None, ny=2048, with_errors=True) \
+        == (128, 16, 48 * MB)
+    assert _pick_tiles(2048, 8, None, ny=2048, with_errors=True) \
+        == (128, 8, 48 * MB)
+    assert _pick_tiles(1024, 16, None, ny=1024, with_errors=True) \
+        == (128, 16, None)
+    # k=16 @4096 without sums prefers the smaller tile (205.7 vs 294.0).
+    assert _pick_tiles(4096, 16, None, ny=4096) == (32, 16, 64 * MB)
+    assert _pick_tiles(4096, 8, None, ny=4096) == (64, 8, 64 * MB)
+    assert _pick_tiles(4096, 16, None, ny=4096, with_errors=True) \
+        == (64, 16, 64 * MB)
     with pytest.raises(ValueError):
         diffusion_block_pallas(
             jnp.zeros((2, 12, 40)), jnp.zeros((3, 12, 40)), alpha=0.5, k=8

@@ -77,15 +77,19 @@ def test_block_error_sums_match_explicit(rng):
 
 
 def test_pick_tiles_cone_is_2k():
-    assert _pick_tiles(1024, 4, None) == (64, 8)
-    assert _pick_tiles(1024, 8, None) == (64, 16)
-    # k=16's 64-row tile exceeds the VMEM model (17.5M est); 32 fits.
-    assert _pick_tiles(1024, 16, None) == (32, 32)
-    assert _pick_tiles(1024, 4, 128) == (128, 8)  # explicit tb still allowed
+    from opticalflow2d_tpu.pallas_kernels import MB
+
+    assert _pick_tiles(1024, 4, None) == (128, 8, 48 * MB)
+    assert _pick_tiles(1024, 8, None) == (128, 16, 48 * MB)
+    assert _pick_tiles(1024, 16, None) == (128, 32, 48 * MB)
+    # explicit tb still allowed (tier vmem limit rides along)
+    assert _pick_tiles(1024, 4, 128) == (128, 8, 48 * MB)
     assert _pick_tiles(44, 4, None) is None
-    # Wider lane extents shrink the auto tile to hold the VMEM footprint.
-    assert _pick_tiles(2048, 4, None, ny=2048) == (32, 8)
-    assert _pick_tiles(4096, 4, None, ny=4096) == (8, 8)
+    # Wider lane extents: measured tiers (64, 32M) @2048 and (64, 48M)
+    # @4096 — 318.5 and 1495.2 us/iter vs 381.9 / 2825.6 at the old
+    # 16M-feasible tiles.
+    assert _pick_tiles(2048, 4, None, ny=2048) == (64, 8, 32 * MB)
+    assert _pick_tiles(4096, 4, None, ny=4096) == (64, 8, 48 * MB)
     with pytest.raises(ValueError):
         elastic_block_pallas(
             jnp.zeros((2, 44, 40)), jnp.zeros((3, 44, 40)),

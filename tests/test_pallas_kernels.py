@@ -284,26 +284,87 @@ def test_demons_fused_compose_smooth_matches_jnp(kw, rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pick_tb_footprint():
-    """Pin the fused-gather row-tile model: largest 8-aligned divisor of
-    nx with (tb+16)*ny <= 98,304 lanes — the largest measured-good
-    rolling footprint on v5e (ok at 98,304, failed at 147,456; see
-    benchmarks/r4_results.jsonl sweeps)."""
+def test_pick_tb_tiers():
+    """Pin the measured (tile, vmem-limit) tiers for the fused gather
+    kernels (the r4 within-run tier races; see pallas_kernels.__init__
+    for the scoped-vmem policy)."""
+    from opticalflow2d_tpu.pallas_kernels import MB
     from opticalflow2d_tpu.pallas_kernels.demons_fused import _pick_tb
 
-    assert _pick_tb(1024, 1024, 1, 2) == 64
-    assert _pick_tb(1024, 1024, 2, 2) == 64
-    assert _pick_tb(2048, 2048, 2, 2) == 32
-    assert _pick_tb(4096, 4096, 2, 2) == 8    # the old schedule OOM'd here
-    # Explicit valid tb honored.
-    assert _pick_tb(1024, 1024, 2, 2, tb=32) == 32
-    # Invalid explicit tb re-searched downward within the footprint cap
-    # (tb=120 would be 139,264 lanes — past the measured-good wall).
-    assert _pick_tb(120, 1024, 1, 2, tb=256) == 40
+    assert _pick_tb(1024, 1024, 1, 2) == (256, 48 * MB)
+    assert _pick_tb(2048, 2048, 2, 2) == (128, 48 * MB)
+    assert _pick_tb(4096, 4096, 2, 2) == (64, 64 * MB)
+    # Explicit valid tb honored (tier limit still applies).
+    assert _pick_tb(1024, 1024, 2, 2, tb=32) == (32, 48 * MB)
+    # Invalid explicit tb re-searched downward from the tier cap.
+    assert _pick_tb(120, 1024, 1, 2, tb=256) == (120, 48 * MB)
     for nx in (64, 120, 1000, 4096):
         for ny in (128, 2048, 4096):
-            tb = _pick_tb(nx, ny, 2, 2)
+            tb, _ = _pick_tb(nx, ny, 2, 2)
             assert nx % tb == 0 and tb % 8 == 0
+
+
+def test_fused_demons_halo_caps():
+    """halo >= 3 triples the gather's live temporaries: tb=64 @1024
+    OOM'd at halo=4 (20.5M) and nothing compiles at ny=4096 (24.5M at
+    tb=8) — the cap is pinned at the measured-good (and fastest) tb=32
+    @1024 footprint, and the solver must fall back to the op-chain step
+    where no tile fits."""
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        _pick_tb, fused_feasible)
+
+    from opticalflow2d_tpu.pallas_kernels import MB
+
+    assert _pick_tb(1024, 1024, 1, 4) == (128, 48 * MB)
+    assert _pick_tb(2048, 2048, 2, 4) == (64, 64 * MB)
+    assert _pick_tb(4096, 4096, 1, 4) == (32, 64 * MB)
+    # Kernel B's 2-channel gather measured a 72.35M stack at (32, 64M)
+    # there — it halves the tile.
+    assert _pick_tb(4096, 4096, 2, 4) == (16, 64 * MB)
+    assert fused_feasible(1024, 1024, 4)
+    assert fused_feasible(4096, 4096, 4)
+    assert fused_feasible(4096, 4096, 2)
+    # No measured tier past ny=4096 — op-chain fallback.
+    assert not fused_feasible(8192, 8192, 2)
+    assert not fused_feasible(8192, 8192, 4)
+
+    from opticalflow2d_tpu.pallas_kernels.warp_fused import gather_feasible
+
+    assert gather_feasible(4096, 2)
+    assert not gather_feasible(8192, 2)
+    assert gather_feasible(2048, 4)
+    assert gather_feasible(4096, 4)
+    assert not gather_feasible(8192, 4)  # ops.warp falls to the roll path
+
+
+def test_demons_step_infeasible_shape_falls_back(rng):
+    """When no fused tile fits (trace-time shape gate), make_demons_step
+    must run the op-chain path and still produce the same field."""
+    from opticalflow2d_tpu.pallas_kernels import demons_fused as df
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    nx, ny = 48, 40
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    imov = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)))
+
+    step = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, False,
+                            warp_halo=2, use_pallas=True)
+    ref_step = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, False,
+                                warp_halo=2, use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        want = step(u, iref, imov)
+        orig = df._TIERS_H2
+        try:
+            df._TIERS_H2 = ()  # no tier -> op-chain path
+            got = step(u, iref, imov)
+        finally:
+            df._TIERS_H2 = orig
+    base = ref_step(u, iref, imov)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_demons_fused_ragged_rows(rng):
