@@ -161,12 +161,12 @@ class RegConfig:
     pallas_block_k: int = 8
     # Temporal blocking for the elastic SOR solver. None = auto: enabled
     # for levels of >= 2048^2 pixels, off below. At 1024^2 the elastic
-    # iteration is VPU-bound (24 rolls/iter) and blocking is a wash (86.0
-    # vs 88.4 us/iter on v5e); at 2048^2 XLA spills the jnp step's rolls
-    # to HBM and the VMEM-resident blocked kernel runs 2.0x faster (381.9
-    # vs 756.6 us/iter — benchmarks/RESULTS.md round 4). Also worth
-    # forcing on under SP drivers, where one pad-row halo exchange
-    # replaces k per-iteration exchanges.
+    # iteration is VPU-bound (24 rolls/iter) and blocking is roughly a
+    # wash; at 2048^2+ XLA spills the jnp step's rolls to HBM and the
+    # VMEM-resident blocked kernel runs 2.2-2.4x faster (318.5 vs 756.6
+    # us/iter @2048^2, e2e 55.1 vs 130.9 ms — benchmarks/RESULTS.md
+    # round 4). Also worth forcing on under SP drivers, where one
+    # pad-row halo exchange replaces k per-iteration exchanges.
     pallas_block_elastic: bool | None = None
     # Elastic temporal block depth (decoupled from pallas_block_k: the
     # elastic cone is 2 rows/iter, so pad = 2k and larger k forces tiny
