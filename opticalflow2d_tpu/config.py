@@ -125,7 +125,9 @@ class RegConfig:
     # resolves to "matmul" (6-pass f32 HIGHEST — bit-closest, for oracle
     # parity). Explicit values: "matmul", "matmul_high", "matmul_fast"
     # (1-pass, 3.9x @ 6e-3), "fft" (Makhoul; slower on TPU where complex
-    # FFT is emulated).
+    # FFT is emulated), "split"/"split_high"/"split_fast" (split-radix
+    # matmul factorization at the matching precision: ~1/3 the MXU MACs,
+    # coefficient permutation absorbed into the eigenvalue table).
     dct_impl: str = "auto"
     # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
     # masked circular shifts when every in-bounds sample's floor offset is

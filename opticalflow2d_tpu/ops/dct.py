@@ -98,6 +98,123 @@ def idct2_fft(a: jnp.ndarray) -> jnp.ndarray:
     return _dct1d_fft(_dct1d_fft(a, -1, inverse=True), -2, inverse=True)
 
 
+@functools.lru_cache(maxsize=64)
+def _dct4_matrix(n: int) -> np.ndarray:
+    """Unnormalized DCT-IV matrix ``2 cos(pi (j+1/2)(k+1/2) / n)``.
+    Symmetric; ``M4 @ M4 == 2n * I``."""
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    return 2.0 * np.cos(np.pi * (j + 0.5) * (k + 0.5) / n)
+
+
+_MIN_SPLIT_LEAF = 64
+
+
+def effective_split_depth(n: int, depth: int | None = None) -> int:
+    """Largest usable split depth for length ``n``: limited by the requested
+    ``depth`` (None = auto), by divisibility (each level halves the length),
+    and by the leaf floor (leaf DCT-II stays >= 64 so the MXU matmuls keep
+    useful contraction extents)."""
+    if depth is None:
+        depth = 3
+    d = 0
+    m = n
+    while d < depth and m % 2 == 0 and m // 2 >= _MIN_SPLIT_LEAF:
+        m //= 2
+        d += 1
+    return d
+
+
+@functools.lru_cache(maxsize=64)
+def split_permutation(n: int, depth: int) -> np.ndarray:
+    """Coefficient permutation of the split-radix layout:
+    ``Y_split[i] == Y_natural[perm[i]]`` for the 1D transforms below.
+    Layout (recursively): [even-coefficient block (recursed), odd
+    coefficients ascending]."""
+    if depth == 0:
+        return np.arange(n)
+    h = n // 2
+    p = split_permutation(h, depth - 1)
+    return np.concatenate([2 * p, 2 * np.arange(h) + 1])
+
+
+def _mm_last(a, m, precision):
+    """Apply matrix ``m`` along the trailing axis: ``out[..., k] =
+    sum_j a[..., j] m[k, j]``."""
+    return jnp.matmul(a, jnp.asarray(m, a.dtype).T, precision=precision)
+
+
+def _dct1d_split_last(x, depth: int, precision):
+    """1D FFTW REDFT10 along the last axis via the even/odd split recursion
+    (exact identity: ``Y[2k] = DCT2_h(x_lo + rev(x_hi))``, ``Y[2k+1] =
+    DCT4_h(x_lo - rev(x_hi))``), leaving coefficients in the
+    ``split_permutation`` layout. MXU MACs drop to ~1/3 of the dense
+    transform at depth 3 (sum (n/2^k)^2 vs n^2 per row)."""
+    iv_blocks = []
+    cur = x
+    for _ in range(depth):
+        h = cur.shape[-1] // 2
+        lo = cur[..., :h]
+        hi = cur[..., :h - 1:-1]  # cur[..., h:] reversed
+        iv_blocks.append(lo - hi)
+        cur = lo + hi
+    parts = [_mm_last(cur, _dct2_matrix(cur.shape[-1]), precision)]
+    for blk in reversed(iv_blocks):  # small -> large, matching the perm
+        parts.append(_mm_last(blk, _dct4_matrix(blk.shape[-1]), precision))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _idct1d_split_last(y, depth: int, precision):
+    """1D FFTW REDFT01 along the last axis from split-layout coefficients.
+    Scale-free recursion: with ``G_n = 2n * C2inv_n`` (= FFTW REDFT01),
+    ``G_n(y) = concat(S + D, rev(S - D))`` where ``S = G_h(y_even_block)``
+    and ``D = y_odd @ DCT4_h`` — no divisions anywhere."""
+    def rec(yblk, d):
+        n = yblk.shape[-1]
+        if d == 0:
+            return _mm_last(yblk, _dct3_matrix(n), precision)
+        h = n // 2
+        s = rec(yblk[..., :h], d - 1)
+        dmat = _mm_last(yblk[..., h:], _dct4_matrix(h), precision)
+        a = s + dmat
+        b = (s - dmat)[..., ::-1]
+        return jnp.concatenate([a, b], axis=-1)
+
+    return rec(y, depth)
+
+
+def _split_axis(a, axis, depth, precision, inverse):
+    fn = _idct1d_split_last if inverse else _dct1d_split_last
+    if axis in (-1, a.ndim - 1):
+        return fn(a, depth, precision)
+    a = jnp.swapaxes(a, axis, -1)
+    return jnp.swapaxes(fn(a, depth, precision), axis, -1)
+
+
+def dct2_split(a: jnp.ndarray, depth=None,
+               precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """2D DCT-II (FFTW REDFT10 x2) over the trailing two axes with the
+    split-radix matmul factorization. Coefficients come back PERMUTED to
+    the split layout per axis (``split_permutation``); callers that stay in
+    the spectral domain (the curvature solver) absorb the permutation into
+    their precomputed eigenvalue table instead of reordering data."""
+    nx, ny = a.shape[-2], a.shape[-1]
+    dx, dy = effective_split_depth(nx, depth), effective_split_depth(ny, depth)
+    return _split_axis(_split_axis(a, -1, dy, precision, False),
+                       -2, dx, precision, False)
+
+
+def idct2_split(a: jnp.ndarray, depth=None,
+                precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """2D DCT-III (FFTW REDFT01 x2) over the trailing two axes from
+    split-layout coefficients. ``idct2_split(dct2_split(x)) == 4*nx*ny*x``
+    exactly as with the dense pair."""
+    nx, ny = a.shape[-2], a.shape[-1]
+    dx, dy = effective_split_depth(nx, depth), effective_split_depth(ny, depth)
+    return _split_axis(_split_axis(a, -1, dy, precision, True),
+                       -2, dx, precision, True)
+
+
 def curvature_eigenvalues(
     nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32
 ) -> jnp.ndarray:

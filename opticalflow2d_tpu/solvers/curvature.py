@@ -17,11 +17,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 from opticalflow2d_tpu.ops.dct import (
     dct2_fftw,
     idct2_fftw,
     dct2_fft,
     idct2_fft,
+    dct2_split,
+    idct2_split,
+    split_permutation,
+    effective_split_depth,
     curvature_eigenvalues,
 )
 from opticalflow2d_tpu.solvers.base import Derivatives, lssd_force
@@ -43,17 +49,31 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     - "matmul_fast": single-pass (bf16-input) MXU matmuls, ~6e-3 relative
       error, for throughput-first runs (3.9x);
     - "fft": O(N log N) Makhoul factorization — on v5e the complex FFT is
-      emulated and ~2x SLOWER than the dense matmul at 1024^2.
+      emulated and ~2x SLOWER than the dense matmul at 1024^2;
+    - "split" / "split_high" / "split_fast": split-radix matmul
+      factorization (``ops/dct.py::dct2_split``) at the matching MXU
+      precision — ~1/3 the dense transform's MXU MACs at depth 3 with the
+      coefficient permutation absorbed into the eigenvalue table (results
+      equal up to fp rounding; no data reorder at runtime).
     """
     eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
         dct_impl = "matmul_high"
+    from jax import lax
+
+    _PRECS = {"": lax.Precision.HIGHEST, "_high": lax.Precision.HIGH,
+              "_fast": lax.Precision.DEFAULT}
     if dct_impl == "fft":
         fwd, inv = dct2_fft, idct2_fft
+    elif dct_impl.startswith("split"):
+        prec = _PRECS[dct_impl[len("split"):]]
+        px = split_permutation(nx, effective_split_depth(nx))
+        py = split_permutation(ny, effective_split_depth(ny))
+        eig = eig[np.ix_(px, py)]
+        fwd = lambda a: dct2_split(a, precision=prec)
+        inv = lambda a: idct2_split(a, precision=prec)
     elif dct_impl in ("matmul_fast", "matmul_high"):
-        from jax import lax
-
         prec = (lax.Precision.DEFAULT if dct_impl == "matmul_fast"
                 else lax.Precision.HIGH)
         fwd = lambda a: dct2_fftw(a, precision=prec)

@@ -184,3 +184,48 @@ def test_curvature_high_impl_close_to_matmul(rng):
     a = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul")(u, d)
     b = make_curvature_step(32, 28, 0.1, 1.0, dct_impl="matmul_high")(u, d)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_dct_split_matches_dense_permuted(rng):
+    from opticalflow2d_tpu.ops.dct import (
+        dct2_split, idct2_split, split_permutation, effective_split_depth)
+
+    # 512 exercises depth 3, 384 depth 2 (odd factor limits), 28 depth 0
+    for shape in [(512, 256), (384, 128), (28, 72)]:
+        nx, ny = shape
+        a = rng.standard_normal(shape).astype(np.float32)
+        dx = effective_split_depth(nx)
+        dy = effective_split_depth(ny)
+        px = split_permutation(nx, dx)
+        py = split_permutation(ny, dy)
+        assert sorted(px) == list(range(nx))
+        dense = np.asarray(dct2_fftw(jnp.asarray(a)))
+        got = np.asarray(dct2_split(jnp.asarray(a)))
+        scale = np.abs(dense).max()
+        np.testing.assert_allclose(got / scale,
+                                   dense[np.ix_(px, py)] / scale, atol=2e-5)
+        # idct2_split(dct2_split(x)) == 4 nx ny x (FFTW round-trip scale)
+        rt = np.asarray(idct2_split(dct2_split(jnp.asarray(a))))
+        np.testing.assert_allclose(rt / (4.0 * nx * ny), a, atol=2e-4)
+        # inverse from permuted dense coefficients matches dense inverse
+        inv_dense = np.asarray(idct2_fftw(jnp.asarray(dense)))
+        inv_got = np.asarray(idct2_split(jnp.asarray(dense[np.ix_(px, py)])))
+        s2 = np.abs(inv_dense).max()
+        np.testing.assert_allclose(inv_got / s2, inv_dense / s2, atol=2e-5)
+
+
+def test_curvature_split_impl_matches_matmul(rng):
+    from opticalflow2d_tpu.solvers.curvature import make_curvature_step
+    from opticalflow2d_tpu.solvers.base import derivatives
+
+    # 256x128 reaches split depth 2 in both axes
+    nx, ny = 256, 128
+    iref = rng.standard_normal((nx, ny)).astype(np.float32)
+    imov = rng.standard_normal((nx, ny)).astype(np.float32)
+    d = derivatives(jnp.asarray(iref), jnp.asarray(imov))
+    u = jnp.asarray(0.1 * rng.standard_normal((2, nx, ny)).astype(np.float32))
+    a = make_curvature_step(nx, ny, 0.1, 1.0, dct_impl="matmul")(u, d)
+    for impl in ["split", "split_high", "split_fast"]:
+        b = make_curvature_step(nx, ny, 0.1, 1.0, dct_impl=impl)(u, d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
