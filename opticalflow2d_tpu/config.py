@@ -119,15 +119,18 @@ class RegConfig:
     # its untouched-border Dirichlet semantics — the north-star upgrade
     # with reference-faithful boundaries).
     navier_lame_solver: str = "sor"
-    # Curvature DCT implementation: "auto" resolves to "matmul_high"
-    # (3-pass MXU, 1.6x faster than HIGHEST @ 3.8e-5 rel err — the
-    # production setting) unless a bug-compat flag is on, in which case it
-    # resolves to "matmul" (6-pass f32 HIGHEST — bit-closest, for oracle
-    # parity). Explicit values: "matmul", "matmul_high", "matmul_fast"
-    # (1-pass, 3.9x @ 6e-3), "fft" (Makhoul; slower on TPU where complex
-    # FFT is emulated), "split"/"split_high"/"split_fast" (split-radix
-    # matmul factorization at the matching precision: ~1/3 the MXU MACs,
-    # coefficient permutation absorbed into the eigenvalue table).
+    # Curvature DCT implementation: "auto" resolves to "split_high"
+    # (split-radix matmul factorization at 3-pass MXU precision: 3.4e-5
+    # rel err, 1.10x vs the dense 3-pass @1024^2 growing to 1.66x @2048^2
+    # — the production setting) unless a bug-compat flag is on, in which
+    # case it resolves to "matmul" (dense 6-pass f32 HIGHEST —
+    # bit-closest, for oracle parity). Explicit values: "matmul",
+    # "matmul_high", "matmul_fast" (1-pass, ~6e-3), "fft" (Makhoul;
+    # slower on TPU where complex FFT is emulated),
+    # "split"/"split_high"/"split_fast" (split-radix at the matching
+    # precision: ~1/3 the MXU MACs, coefficient permutation absorbed into
+    # the eigenvalue table; falls back to the dense transform per axis
+    # when the extent is odd or < 128).
     dct_impl: str = "auto"
     # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
     # masked circular shifts when every in-bounds sample's floor offset is
@@ -209,7 +212,7 @@ class RegConfig:
             return self.dct_impl
         if self.compat.maxabs_bug or self.compat.conv_flatwrap:
             return "matmul"
-        return "matmul_high"
+        return "split_high"
 
     @staticmethod
     def from_regparams(

@@ -40,9 +40,13 @@ def make_curvature_step_sharded(
     ``P(None, 'x', None)``. Numerically equivalent to the serial
     ``make_curvature_step`` (same transform matrices, same normalization);
     the DCT body is ``parallel.spatial._curvature_solve_strip``.
-    ``precision``: HIGH (default — matches the serial production
-    ``dct_impl="auto"`` -> ``matmul_high`` resolution) or HIGHEST (the
-    parity-grade 6-pass transform, matching ``dct_impl="matmul"``)."""
+    ``precision``: HIGH (default — the same 3-pass MXU precision class as
+    the serial production ``dct_impl="auto"`` -> ``split_high``
+    resolution; the sharded body keeps the dense per-axis transform —
+    folding the split-radix factorization into the strip matmuls is
+    possible but the collective transpose, not the MACs, dominates here)
+    or HIGHEST (the parity-grade 6-pass transform, matching
+    ``dct_impl="matmul"``)."""
     n_x = mesh.shape["x"]
     if nx % n_x != 0 or ny % n_x != 0:
         raise ValueError(

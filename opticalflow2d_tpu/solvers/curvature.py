@@ -40,26 +40,33 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     plans).
 
     ``dct_impl``:
-    - "matmul_high" (= "auto"): 3-pass MXU precision — the production
-      default: 1.6x faster than HIGHEST at 3.75e-5 relative error
-      (measured on v5e @1024^2);
+    - "split_high" (= "auto"): split-radix matmul factorization
+      (``ops/dct.py::dct2_split``) at 3-pass MXU precision — the
+      production default: 3.4e-5 relative error, and v5e-measured 293.5
+      us/step @1024^2 vs 321.4 dense / 1456.6 vs 2414.5 @2048^2 (the
+      MAC saving grows with N since the dense transform is O(N^3));
+    - "split" / "split_fast": the split factorization at
+      HIGHEST / single-pass precision. "split" is near-parity (3e-7 rel)
+      at 1.52-2.17x the dense HIGHEST; "split_fast" LOSES to
+      "matmul_fast" (the 1-pass step is bandwidth-bound, so the extra
+      concat/reverse passes cost more than the saved MACs);
     - "matmul": MXU dense transform at HIGHEST precision (6-pass f32) —
       bit-closest; the parity/compat setting (``RegConfig.resolved_dct_impl``
       selects it automatically when bug-compat flags are on);
-    - "matmul_fast": single-pass (bf16-input) MXU matmuls, ~6e-3 relative
-      error, for throughput-first runs (3.9x);
+    - "matmul_high" / "matmul_fast": dense 3-pass / single-pass
+      (bf16-input) MXU matmuls (~3.8e-5 / ~6e-3 relative error);
     - "fft": O(N log N) Makhoul factorization — on v5e the complex FFT is
-      emulated and ~2x SLOWER than the dense matmul at 1024^2;
-    - "split" / "split_high" / "split_fast": split-radix matmul
-      factorization (``ops/dct.py::dct2_split``) at the matching MXU
-      precision — ~1/3 the dense transform's MXU MACs at depth 3 with the
-      coefficient permutation absorbed into the eigenvalue table (results
-      equal up to fp rounding; no data reorder at runtime).
+      emulated and ~2x SLOWER than the dense matmul even at 4096^2.
+
+    The split path absorbs its coefficient permutation into the
+    eigenvalue table (no runtime reorder) and degrades per axis to the
+    dense transform when the extent is odd or < 128
+    (``effective_split_depth``), so "auto" is safe at every pyramid level.
     """
     eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
-        dct_impl = "matmul_high"
+        dct_impl = "split_high"
     from jax import lax
 
     _PRECS = {"": lax.Precision.HIGHEST, "_high": lax.Precision.HIGH,

@@ -229,3 +229,19 @@ def test_curvature_split_impl_matches_matmul(rng):
         b = make_curvature_step(nx, ny, 0.1, 1.0, dct_impl=impl)(u, d)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_dct_impl_auto_resolution():
+    """Production ``dct_impl="auto"`` resolves to the split-radix 3-pass
+    transform (v5e-measured fastest at its error class); bug-compat
+    configs stay on the bit-closest dense HIGHEST transform."""
+    from opticalflow2d_tpu.config import RegConfig, CompatFlags, Method
+
+    base = dict(method=Method.CURVATURE, niter=(5,))
+    assert RegConfig(**base).resolved_dct_impl == "split_high"
+    assert RegConfig(
+        **base, compat=CompatFlags(maxabs_bug=True)
+    ).resolved_dct_impl == "matmul"
+    assert RegConfig(
+        **base, dct_impl="matmul_fast"
+    ).resolved_dct_impl == "matmul_fast"
