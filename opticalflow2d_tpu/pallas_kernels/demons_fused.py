@@ -90,11 +90,16 @@ def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int):
     return g00, g10, g01, g11
 
 
-def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int):
+def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
+                   per_channel: bool = False):
     """Warp/compose core on a full padded tile: global coords, weights,
     edge renormalization, floor-cell bounds — ``ops.warp._bilinear_from_taps``
     expression-for-expression. ``gi, gj [rows, ny]`` are GLOBAL coords of
-    each padded row; ``data_tile [nc, rows, ny]``."""
+    each padded row; ``data_tile [nc, rows, ny]``.
+
+    ``per_channel=True`` runs the tap select chain one channel at a time so
+    only one channel's roll cache is live at once (~half the VMEM peak for
+    2-channel composes; same rolls in total, bit-identical output)."""
     nc, rows, ny = data_tile.shape
     px = gi.astype(ux.dtype) + ux
     py = gj.astype(uy.dtype) + uy
@@ -108,38 +113,47 @@ def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int):
     rx = dxi - gi
     ry = dyi - gj
 
-    g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny)
-
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
     w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
     w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
-    value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
+
+    if per_channel and nc > 1:
+        vals = []
+        for ch in range(nc):
+            g00, g10, g01, g11 = _select_taps(
+                data_tile[ch:ch + 1], rx, ry, halo, rows, ny
+            )
+            vals.append(g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11)
+        value = jnp.concatenate(vals, axis=0)
+    else:
+        g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny)
+        value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
     weight = w00 + w10 + w01 + w11
     return value, weight, in_bounds
 
 
 def _smooth_tile(f, gi_col, gj_row, taps, c: int, rows: int, tb: int,
-                 nx: int, ny: int):
+                 nx: int, ny: int, pad: int = _PAD):
     """Boundary-renormalized separable Gaussian on a padded tile:
     ``f [nc, rows, ny]`` -> ``[nc, tb, ny]`` (output row r = padded row
-    r + _PAD). Matches ``ops.conv.convolve2d_clip``: zero-contribution
+    r + ``pad``). Matches ``ops.conv.convolve2d_clip``: zero-contribution
     taps outside the global grid (masks instead of zero padding, same
     adds), then division by the separable in-bounds tap-weight product.
     ``gi_col [rows, 1]`` global row of each padded row; ``gj_row [1, ny]``.
     """
     k = len(taps)
 
-    # x-pass: out row r (padded row r+_PAD) taps padded rows r+_PAD+t-c.
+    # x-pass: out row r (padded row r+pad) taps padded rows r+pad+t-c.
     # All contributions from outside the global [0, nx) rows are zeroed
     # (the jnp path's zero padding).
     num_x = None
-    gi_center = gi_col[_PAD : _PAD + tb]  # [tb, 1] global rows of output
+    gi_center = gi_col[pad : pad + tb]  # [tb, 1] global rows of output
     for t in range(k):
         off = t - c
-        shifted = pltpu.roll(f, (rows - (_PAD + off)) % rows, 1)[:, 0:tb, :]
+        shifted = pltpu.roll(f, (rows - (pad + off)) % rows, 1)[:, 0:tb, :]
         valid = (gi_center + off >= 0) & (gi_center + off <= nx - 1)
         term = jnp.where(valid[None], shifted * float(taps[t]), 0.0)
         num_x = term if num_x is None else num_x + term

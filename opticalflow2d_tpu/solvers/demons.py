@@ -54,6 +54,8 @@ def make_demons_step(
     refinement-level warped moving image (the reference's ``Iaux``)."""
     from opticalflow2d_tpu.pallas_kernels.demons_fused import (
         fused_supported, fused_feasible)
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        onepass_supported, onepass_feasible)
 
     use_fused = (
         use_pallas
@@ -61,19 +63,36 @@ def make_demons_step(
         and not conv_flatwrap  # fused kernels implement the clipped smooth
         and fused_supported(warp_halo, kernelwidth)
     )
+    # Thirion-only single-pass kernel: the whole iteration in one HBM
+    # round trip (demons_onepass). Preferred over the two-kernel path
+    # wherever its static preconditions and shape tiers allow.
+    use_onepass = (
+        use_pallas
+        and warp_halo > 0
+        and not conv_flatwrap
+        and not diffeomorphic
+        and onepass_supported(warp_halo, kernelwidth, sigma_i, sigma_x)
+    )
 
     if use_fused:
         fused = _make_fused_step(
             sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
             diffeomorphic, accumulation, maxabs_bug, warp_halo,
         )
+    if use_onepass:
+        onepass = _make_onepass_step(
+            sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
+            accumulation, warp_halo,
+        )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
-        # Shape gate evaluated at trace time: the fused kernels need a
-        # measured (tile, vmem-limit) tier at this (ny, halo) — tiers
-        # cover ny <= 4096 (demons_fused._pick_tb) — otherwise run the
-        # op-chain step below (its warps/composes use the lighter pallas
-        # gather, or the XLA roll path past ITS tiers).
+        # Shape gates evaluated at trace time: the fused kernels need a
+        # measured (tile, vmem-limit) tier at this (ny, halo) — otherwise
+        # run the op-chain step below (its warps/composes use the lighter
+        # pallas gather, or the XLA roll path past ITS tiers).
+        if use_onepass and onepass_feasible(u.shape[1], u.shape[2],
+                                            warp_halo, kernelwidth):
+            return onepass(u, iref, imov)
         if use_fused and fused_feasible(u.shape[1], u.shape[2], warp_halo):
             return fused(u, iref, imov)
         iwar = warp2d(imov, u, warp_halo, use_pallas)
@@ -90,6 +109,51 @@ def make_demons_step(
             u = u + c
         u = gaussian_smooth(u, sigma_diffusion, kernelwidth, flatwrap=conv_flatwrap)
         return u
+
+    return step
+
+
+def _make_onepass_step(
+    sigma_i: float,
+    sigma_x: float,
+    sigma_diffusion: float,
+    sigma_fluid: float,
+    kernelwidth: int,
+    accumulation: MotionAccumulation,
+    halo: int,
+):
+    """The single-kernel Thirion iteration with an exact-gather jnp
+    fallback. One runtime check only (the motion's displacement bound for
+    the warp stage); the correspondence bound is static
+    (``demons_onepass.onepass_supported``)."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        thirion_onepass_pallas,
+    )
+
+    addition = accumulation == MotionAccumulation.ADDITION
+
+    def exact_full(args):
+        u, iref, imov = args
+        iwar = warp2d(imov, u, 0)
+        d = derivatives(iref, iwar)
+        c = demons_force(d, sigma_i, sigma_x)
+        c = gaussian_smooth(c, sigma_fluid, kernelwidth)
+        u = u + c if addition else compose(u, c, 0)
+        return gaussian_smooth(u, sigma_diffusion, kernelwidth)
+
+    def fused_full(args):
+        u, iref, imov = args
+        return thirion_onepass_pallas(
+            imov, iref, u, sigma_i, sigma_x, sigma_fluid, sigma_diffusion,
+            kernelwidth, halo, addition,
+        )
+
+    def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
+        px, py = _sample_coords(u)
+        return lax.cond(
+            _displacement_bounded(imov[None], px, py, halo),
+            fused_full, exact_full, (u, iref, imov),
+        )
 
     return step
 

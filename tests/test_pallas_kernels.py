@@ -462,3 +462,118 @@ def test_register_sp_thirions_fused_pallas_matches():
     assert list(np.asarray(it_g)) == list(np.asarray(it_w))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("accum,kw", [("comp", 5), ("comp", 7), ("add", 5)])
+def test_thirion_onepass_matches_jnp_chain(accum, kw, rng):
+    """Single-pass Thirion kernel vs the jnp chain AND vs the two-kernel
+    fused path (must be bit-identical to the latter)."""
+    from opticalflow2d_tpu.ops.warp import warp2d, compose
+    from opticalflow2d_tpu.ops.conv import gaussian_smooth
+    from opticalflow2d_tpu.solvers.base import derivatives, demons_force
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        thirion_onepass_pallas, onepass_supported)
+    from opticalflow2d_tpu.pallas_kernels.demons_fused import (
+        demons_correspondence_pallas, compose_smooth_pallas)
+
+    assert onepass_supported(2, kw, 1.0, 0.25)
+    nx, ny = 64, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)) * 1.8)
+    addition = accum == "add"
+
+    iwar = warp2d(iaux, u)
+    c = demons_force(derivatives(iref, iwar), 1.0, 0.25)
+    c = gaussian_smooth(c, 2.0, kw)
+    u_j = u + c if addition else compose(u, c)
+    want = gaussian_smooth(u_j, 1.7, kw)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = thirion_onepass_pallas(iaux, iref, u, 1.0, 0.25, 2.0, 1.7,
+                                     kw, halo=2, addition=addition)
+        c2 = demons_correspondence_pallas(iaux, iref, u, 1.0, 0.25, 2.0, kw,
+                                          halo=2)
+        if addition:
+            twok = gaussian_smooth(u + c2, 1.7, kw)
+        else:
+            twok = compose_smooth_pallas(u, c2, 1.7, kw, halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    if addition:
+        # The two-kernel addition path smooths in jnp (kernel B is
+        # composition-only), whose summation order differs from the
+        # in-kernel smooth by ~1 ulp.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(twok),
+                                   rtol=1e-4, atol=1e-6)
+    else:
+        # Bit-identical to the two-kernel fused path: same expressions,
+        # same order, per stage.
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(twok))
+
+
+def test_thirion_onepass_ragged_rows(rng):
+    """Non-8-divisible row counts through the pad-to-8 path."""
+    from opticalflow2d_tpu.ops.warp import warp2d, compose
+    from opticalflow2d_tpu.ops.conv import gaussian_smooth
+    from opticalflow2d_tpu.solvers.base import derivatives, demons_force
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        thirion_onepass_pallas)
+
+    nx, ny = 60, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(rng.standard_normal((2, nx, ny)).astype(np.float32)))
+
+    iwar = warp2d(iaux, u)
+    c = demons_force(derivatives(iref, iwar), 1.0, 0.25)
+    c = gaussian_smooth(c, 2.0, 5)
+    want = gaussian_smooth(compose(u, c), 2.0, 5)
+    with pltpu.force_tpu_interpret_mode():
+        got = thirion_onepass_pallas(iaux, iref, u, 1.0, 0.25, 2.0, 2.0,
+                                     5, halo=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_onepass_supported_gates():
+    """Static preconditions: pad fit and the analytic correspondence
+    bound sigma_x/(2*sigma_i) <= halo."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        onepass_supported, required_pad)
+
+    assert required_pad(2, 5) == 8    # 2*2 + 2 + 2
+    assert required_pad(2, 7) == 16   # 2*3 + 2 + 2 = 10 -> 16
+    assert required_pad(4, 5) == 16   # 4 + 4 + 2 = 10 -> 16
+    assert onepass_supported(2, 5, 1.0, 0.25)
+    assert onepass_supported(1, 5, 1.0, 0.25)   # bound 0.125 <= 1
+    assert not onepass_supported(1, 5, 0.1, 1.0)  # bound 5.0 > 1
+    assert not onepass_supported(0, 5, 1.0, 0.25)
+    assert not onepass_supported(2, 5, 0.0, 0.25)  # sigma_i == 0
+    assert not onepass_supported(7, 9, 1.0, 0.25)  # pad 24 > 16
+
+
+def test_onepass_infeasible_falls_back_to_two_kernel(rng):
+    """With no onepass tier at this shape the step must take the
+    two-kernel fused path and produce the identical field."""
+    from opticalflow2d_tpu.pallas_kernels import demons_onepass as dop
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    nx, ny = 48, 40
+    iref, imov = make_pair(nx, ny, shift=(1.1, -0.6))
+    iref, imov = jnp.asarray(iref), jnp.asarray(imov)
+    u = jnp.asarray(0.5 * np.tanh(
+        rng.standard_normal((2, nx, ny))).astype(np.float32))
+
+    step = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, False,
+                            warp_halo=2, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        want = step(u, iref, imov)
+        orig = dop._TIERS_H2
+        try:
+            dop._TIERS_H2 = ()
+            got = step(u, iref, imov)
+        finally:
+            dop._TIERS_H2 = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
