@@ -304,6 +304,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         reference_stencil=cfg.compat.elastic_stencil_reference,
         sor_ordering=cfg.sor_ordering,
         spectral_solve=spectral_solve,
+        use_pallas=cfg.use_pallas,
     )
 
     velocity = jnp.zeros_like(u)

@@ -18,6 +18,17 @@ Every stage reproduces its ``demons_fused`` counterpart's float
 expression order, so results are bit-identical to the two-kernel fused
 path (and to the jnp chain) — pinned in tests/test_pallas_kernels.py.
 
+Unlike the two-kernel path (which ``jnp.pad``s its inputs by ``_PAD``
+rows every call — a full extra read+write of every input plane), the
+dense entry point here loads its row halos through *clamped* BlockSpec
+up/center/down blocks, elastic_block-style: zero padding copies, the
+tile's halo rows stream straight from the neighbouring blocks. Rows the
+clamp duplicates at the global edges carry garbage, which every stage
+masks through global-row validity (the same masks that neutralize zero
+padding on the jnp path). The strip-local entry point (``prepadded``)
+keeps the manual-DMA form: SPMD callers have already exchanged real halo
+rows into the padding.
+
 Tile validity: output rows tap ``composed`` within +-cd (diffusion
 smooth, cd = kernelwidth//2); ``composed`` at row r taps the smoothed
 correspondence at r (pointwise) and ``u`` at r +- (halo+1); the smoothed
@@ -100,27 +111,17 @@ def _smooth_tile_full(f, gi_col, gj_row, taps, c: int, rows: int,
     return num / den[None]
 
 
-def _onepass_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
-                    iaux_sc, iref_sc, u_sc, sem0, sem1, sem2, *,
-                    halo: int, cf: int, taps_f, cd: int, taps_d,
-                    tb: int, pad: int, nx: int, ny: int,
-                    sigma_i: float, sigma_x: float, addition: bool):
-    i = pl.program_id(0)
+def _onepass_body(iaux, iref, u, gi0, out_ref, *, halo: int, halo_c: int,
+                  cf: int, taps_f, cd: int, taps_d, tb: int, pad: int, nx,
+                  ny: int, sigma_i: float, sigma_x: float, addition: bool):
+    """The full Thirion chain on one extended tile. ``iaux, iref [rows,
+    ny]``, ``u [2, rows, ny]`` with ``rows = tb + 2*pad``; ``gi0`` the
+    global row index of tile row 0 (traced scalar ok); ``nx`` the global
+    x extent (traced ok for strip callers). Writes the interior ``[2,
+    tb, ny]`` to ``out_ref``."""
     rows = tb + 2 * pad
 
-    d0 = pltpu.make_async_copy(iaux_hbm.at[pl.ds(i * tb, rows), :], iaux_sc, sem0)
-    d1 = pltpu.make_async_copy(iref_hbm.at[pl.ds(i * tb, rows), :], iref_sc, sem1)
-    d2 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * tb, rows), :], u_sc, sem2)
-    d0.start(); d1.start(); d2.start()
-    d0.wait(); d1.wait(); d2.wait()
-
-    iaux = iaux_sc[:, :]
-    iref = iref_sc[:, :]
-    u = u_sc[:, :, :]
-
-    row0 = row0_ref[0]
-    gi = (lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
-          + i * tb - pad + row0)
+    gi = lax.broadcasted_iota(jnp.int32, (rows, ny), 0) + gi0
     gj = lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
     gi_col = gi[:, 0:1]
     gj_row = gj[0:1, :]
@@ -163,8 +164,16 @@ def _onepass_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
     if addition:
         composed = u + c_sm
     else:
+        # The smoothed correspondence is statically bounded by
+        # sigma_x/(2*sigma_i) (module docstring), so its floor offsets fit
+        # halo_c = ceil(bound) << halo: a (2*halo_c+2)^2 select chain
+        # instead of the warp's (2*halo+2)^2 — the single largest compute
+        # cut in the chain (the kernel is VPU-bound, not HBM-bound:
+        # benchmarks/r6_results.jsonl). Extra never-firing mask terms are
+        # the only difference vs the two-kernel path, so outputs stay
+        # bit-identical.
         value, weight, in_b = _bilinear_tile(u, c_sm[0], c_sm[1], gi, gj,
-                                             halo, nx, per_channel=True)
+                                             halo_c, nx, per_channel=True)
         safe_w = jnp.where(weight != 0, weight, 1.0)
         inc_plus = c_sm + jnp.where(weight != 0, value / safe_w, 0.0)
         composed = jnp.where(in_b, inc_plus, u)
@@ -175,16 +184,45 @@ def _onepass_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
     )
 
 
-# Measured (tile cap, vmem limit) tiers for the one-pass kernel (TPU v5e,
-# benchmarks/r5_results.jsonl `onepass_*` rows). The chain keeps more live
-# planes than kernel B (warp taps + both smooths) but the per-channel
-# compose halves the select-chain peak: tb=128 is the measured-fastest
-# stable tile @1024 (127.9 us/step vs 131.9 at 64); tb=32 @2048 (260.0 us
-# vs 268.1 at 64, which also compiles); tb=16 @4096 (1117.9 us; tb=32
-# compiles at 64M but runs 1288.5). ny=8192 tiers measured in the same
-# sweep: tb=8 @8192 f32 (4.8 ms/step).
-_TIERS_H2 = ((1024, 128, 48 * MB), (2048, 32, 64 * MB), (4096, 16, 64 * MB),
-             (8192, 8, 64 * MB))
+def _dense_kernel(ia_c, ia_up, ia_dn, ir_c, ir_up, ir_dn, u_c, u_up, u_dn,
+                  out_ref, **kw):
+    """Dense entry: halo rows arrive as clamped up/down BlockSpec blocks
+    (no input padding copies); clamp-duplicated rows at the global edges
+    are masked by the body's global-row validity tests."""
+    i = pl.program_id(0)
+    iaux = jnp.concatenate([ia_up[:, :], ia_c[:, :], ia_dn[:, :]], axis=0)
+    iref = jnp.concatenate([ir_up[:, :], ir_c[:, :], ir_dn[:, :]], axis=0)
+    u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
+    _onepass_body(iaux, iref, u, i * kw["tb"] - kw["pad"], out_ref, **kw)
+
+
+def _strip_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
+                  iaux_sc, iref_sc, u_sc, sem0, sem1, sem2, **kw):
+    """Strip-local entry: inputs pre-padded with exchanged halo rows;
+    manual DMA of the extended tile (BlockSpec clamping would fabricate
+    rows at strip edges where real neighbour data exists)."""
+    i = pl.program_id(0)
+    tb, pad = kw["tb"], kw["pad"]
+    rows = tb + 2 * pad
+
+    d0 = pltpu.make_async_copy(iaux_hbm.at[pl.ds(i * tb, rows), :], iaux_sc, sem0)
+    d1 = pltpu.make_async_copy(iref_hbm.at[pl.ds(i * tb, rows), :], iref_sc, sem1)
+    d2 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * tb, rows), :], u_sc, sem2)
+    d0.start(); d1.start(); d2.start()
+    d0.wait(); d1.wait(); d2.wait()
+
+    _onepass_body(iaux_sc[:, :], iref_sc[:, :], u_sc[:, :, :],
+                  row0_ref[0] + i * tb - pad, out_ref, **kw)
+
+
+# Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
+# benchmarks/r6_results.jsonl). The chain keeps more live planes than
+# kernel B (warp taps + both smooths) but the per-channel compose halves
+# the select-chain peak. Numbers below are the BlockSpec-halo dense path;
+# the first jnp.pad-based cut ran 294 us @1024 tb=128 (the pad copies
+# alone cost ~45%).
+_TIERS_H2 = ((1024, 128, 48 * MB), (2048, 64, 64 * MB), (4096, 32, 64 * MB),
+             (8192, 16, 64 * MB))
 # halo >= 3 triples the warp/compose tap masks; start one tile down.
 _TIERS_WIDE = ((1024, 64, 48 * MB), (2048, 32, 64 * MB), (4096, 8, 64 * MB))
 
@@ -215,13 +253,15 @@ def onepass_feasible(nx: int, ny: int, halo: int, kernelwidth: int) -> bool:
     return _tier(ny, halo) is not None
 
 
-def _pick_tb(nx: int, ny: int, halo: int, tb: int = 0):
+def _pick_tb(nx: int, ny: int, halo: int, pad: int, tb: int = 0):
+    """Row tile: multiple of ``pad`` (the up/down halo blocks index in
+    pad-row units) dividing ``nx``, within the lane tier's cap."""
     tier = _tier(ny, halo)
-    tb_cap, limit = tier if tier is not None else (8, 64 * MB)
-    if tb <= 0 or nx % tb != 0 or tb % 8 != 0:
-        start = min(tb if 0 < tb and tb % 8 == 0 else tb_cap, nx)
-        tb = 8
-        for cand in range(start, 7, -8):
+    tb_cap, limit = tier if tier is not None else (pad, 64 * MB)
+    if tb <= 0 or nx % tb != 0 or tb % pad != 0:
+        start = min(tb if 0 < tb and tb % pad == 0 else tb_cap, nx)
+        tb = pad
+        for cand in range(start, pad - 1, -pad):
             if nx % cand == 0:
                 tb = cand
                 break
@@ -262,56 +302,80 @@ def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
                    gaussian_kernel_1d(sigma_diffusion, kernelwidth))
 
     nx_out = nx
-    extra = (-nx) % 8
+    extra = 0 if prepadded else (-nx) % pad
     if extra:
         iaux = jnp.pad(iaux, ((0, extra), (0, 0)))
         iref = jnp.pad(iref, ((0, extra), (0, 0)))
         u = jnp.pad(u, ((0, 0), (0, extra), (0, 0)))
         nx += extra
-    tb, vmem_limit = _pick_tb(nx, ny, halo, tb)
+    tb, vmem_limit = _pick_tb(nx, ny, halo, pad, tb)
     nblocks = nx // tb
     nx_bound = nx_out if nx_glob is None else nx_glob
 
-    if prepadded:
-        iaux_p, iref_p, u_p = iaux, iref, u
-    else:
-        rpad = [(pad, pad), (0, 0)]
-        iaux_p = jnp.pad(iaux, rpad)
-        iref_p = jnp.pad(iref, rpad)
-        u_p = jnp.pad(u, [(0, 0)] + rpad)
-    if row0 is None:
-        row0 = jnp.zeros((1,), jnp.int32)
-    else:
-        row0 = jnp.asarray(row0, jnp.int32).reshape(1)
-
-    rows = tb + 2 * pad
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((rows, ny), iaux.dtype),
-            pltpu.VMEM((rows, ny), iref.dtype),
-            pltpu.VMEM((2, rows, ny), u.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(
-        _onepass_kernel, halo=halo, cf=cf, taps_f=taps_f, cd=cd,
-        taps_d=taps_d, tb=tb, pad=pad, nx=nx_bound, ny=ny,
+    import math
+    halo_c = min(halo, max(1, math.ceil(sigma_x / (2.0 * sigma_i))))
+    body_kw = dict(
+        halo=halo, halo_c=halo_c, cf=cf, taps_f=taps_f, cd=cd, taps_d=taps_d,
+        tb=tb, pad=pad, nx=nx_bound, ny=ny,
         sigma_i=sigma_i, sigma_x=sigma_x, addition=addition,
     )
+
+    if prepadded:
+        if row0 is None:
+            row0 = jnp.zeros((1,), jnp.int32)
+        else:
+            row0 = jnp.asarray(row0, jnp.int32).reshape(1)
+        rows = tb + 2 * pad
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rows, ny), iaux.dtype),
+                pltpu.VMEM((rows, ny), iref.dtype),
+                pltpu.VMEM((2, rows, ny), u.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_strip_kernel, **body_kw),
+            grid_spec=grid_spec,
+            compiler_params=compiler_params(vmem_limit),
+            out_shape=jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype),
+        )(row0, iaux, iref, u)
+        return out
+
+    # Dense path: clamped up/center/down halo blocks, zero padding copies.
+    r = tb // pad
+    last = nx // pad - 1
+    up = lambda i: jnp.maximum(i * r - 1, 0)
+    dn = lambda i: jnp.minimum((i + 1) * r, last)
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
+            pl.BlockSpec((pad, ny), lambda i: (up(i), 0)),
+            pl.BlockSpec((pad, ny), lambda i: (dn(i), 0)),
+            pl.BlockSpec((tb, ny), lambda i: (i, 0)),
+            pl.BlockSpec((pad, ny), lambda i: (up(i), 0)),
+            pl.BlockSpec((pad, ny), lambda i: (dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+        ],
+        out_specs=pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+    )
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_dense_kernel, **body_kw),
         grid_spec=grid_spec,
         compiler_params=compiler_params(vmem_limit),
         out_shape=jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype),
-    )(row0, iaux_p, iref_p, u_p)
+    )(iaux, iaux, iaux, iref, iref, iref, u, u, u)
     return out[:, :nx_out] if extra else out

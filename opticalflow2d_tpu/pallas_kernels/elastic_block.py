@@ -29,6 +29,39 @@ from jax.experimental.pallas import tpu as pltpu
 from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
 
 
+def sor_candidate_tile(x, b, mu: float, lam: float, omega: float,
+                       reference_stencil: bool):
+    """SOR update value at every pixel of a ``[2, e, ny]`` tile — op-for-op
+    the stacked form of ``elastic._gs_candidate`` (roll wrap garbage lands
+    only in rows outside the iteration's valid trapezoid or in masked
+    borders). Shared by the blocked elastic kernel and the fused fluid
+    iteration kernel."""
+    e, ny = x.shape[1], x.shape[2]
+    inv_diag = omega / (-6.0 * mu - 2.0 * lam)
+    xm = pltpu.roll(x, 1, 1)        # value at i-1
+    xp = pltpu.roll(x, e - 1, 1)    # value at i+1
+    ym = pltpu.roll(x, 1, 2)        # value at j-1
+    yp = pltpu.roll(x, ny - 1, 2)   # value at j+1
+    lap4 = xp + xm + yp + ym
+    sw = pltpu.roll(x, 1, 0)        # channel swap (xo)
+    swm = pltpu.roll(sw, 1, 1)      # xo at i-1
+    swp = pltpu.roll(sw, e - 1, 1)  # xo at i+1
+    cross = 0.25 * (
+        pltpu.roll(swp, ny - 1, 2)   # (i+1, j+1)
+        - pltpu.roll(swm, ny - 1, 2)  # (i-1, j+1)
+        - pltpu.roll(swp, 1, 2)       # (i+1, j-1)
+        + pltpu.roll(swm, 1, 2)       # (i-1, j-1)
+    )
+    if reference_stencil:
+        second = xp + xm
+    else:
+        second = jnp.concatenate(
+            [(xp + xm)[0:1], (yp + ym)[1:2]], axis=0
+        )
+    num = b - mu * lap4 - (mu + lam) * (second + cross)
+    return (1.0 - omega) * x + inv_diag * num
+
+
 def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, mu: float,
                 lam: float, omega: float, reference_stencil: bool, k: int,
                 tb: int, pad: int, nx, with_errors: bool):
@@ -48,34 +81,8 @@ def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, mu: float,
     red = (((gi + gj) % 2) == 0) & interior
     black = (((gi + gj) % 2) == 1) & interior
 
-    inv_diag = omega / (-6.0 * mu - 2.0 * lam)
-
     def candidate(x, b):
-        """SOR update value at every pixel — op-for-op the stacked form of
-        ``elastic._gs_candidate`` (roll wrap garbage lands only in rows
-        outside the iteration's valid trapezoid or in masked borders)."""
-        xm = pltpu.roll(x, 1, 1)        # value at i-1
-        xp = pltpu.roll(x, e - 1, 1)    # value at i+1
-        ym = pltpu.roll(x, 1, 2)        # value at j-1
-        yp = pltpu.roll(x, ny - 1, 2)   # value at j+1
-        lap4 = xp + xm + yp + ym
-        sw = pltpu.roll(x, 1, 0)        # channel swap (xo)
-        swm = pltpu.roll(sw, 1, 1)      # xo at i-1
-        swp = pltpu.roll(sw, e - 1, 1)  # xo at i+1
-        cross = 0.25 * (
-            pltpu.roll(swp, ny - 1, 2)   # (i+1, j+1)
-            - pltpu.roll(swm, ny - 1, 2)  # (i-1, j+1)
-            - pltpu.roll(swp, 1, 2)       # (i+1, j-1)
-            + pltpu.roll(swm, 1, 2)       # (i-1, j-1)
-        )
-        if reference_stencil:
-            second = xp + xm
-        else:
-            second = jnp.concatenate(
-                [(xp + xm)[0:1], (yp + ym)[1:2]], axis=0
-            )
-        num = b - mu * lap4 - (mu + lam) * (second + cross)
-        return (1.0 - omega) * x + inv_diag * num
+        return sor_candidate_tile(x, b, mu, lam, omega, reference_stencil)
 
     # Vector error accumulation (see diffusion_block._block_kernel: scalar
     # SMEM stores in the loop serialize the schedule).

@@ -1,0 +1,215 @@
+"""Fused viscous-fluid iteration: force + SOR sweep + material derivative
+in ONE Pallas TPU pass.
+
+The jnp fluid step (``solvers.fluid.make_fluid_step``, reference
+``src/regularization/OpticalFlow/OpticalFlowFluid.cpp:123-140``) chains
+L-SSD force -> red/black SOR sweep on the velocity -> material-derivative
+increment -> global maxabs -> adaptive Euler step: ~5 HBM round trips per
+iteration, which made fluid the slowest family end-to-end (85.5 ms
+@1024^2 vs 30-46 for the others, benchmarks/RESULTS.md r2). This kernel
+collapses everything except the *global* pieces into one VMEM pass:
+
+    read (u, vel, g) -> force(u) -> red half-sweep -> black half-sweep
+        -> material derivative R -> write (vel', R, per-block max|R|^2)
+
+The timestep is inherently global (``dt = dumax / maxabs(R)``), so the
+scalar max-reduce over the per-block partials, the ``dt`` computation and
+the conditional Euler update ``u += R*dt`` stay outside (one cheap
+XLA-fused elementwise pass) — exactly like the blocked kernels' Logger
+partials. ``max`` is associative and exact, so ``dt`` is exactly
+``dumax / maxabs(R)`` for the kernel's own R; R itself agrees with the
+jnp chain to ~1 ulp (identical expressions, but roll-based and
+pad/slice-based XLA graphs may make different FMA/fusion choices). The
+trajectory STRUCTURE — iteration counts, skip decisions, regrid events —
+matches the jnp path exactly (pinned in tests/test_fluid_fused.py).
+
+Tiling: the black half-sweep taps red-updated values one row away, which
+tap old values one row further (cone = 2 rows/iteration, same as
+elastic_block with k=1); the material derivative adds one row of reach on
+``u`` only, which is an exact input everywhere in the tile. pad = 8 (the
+sublane tile). Halos stream through clamped up/center/down BlockSpec
+blocks — no input padding copies; clamp-duplicated rows at the global
+edges are masked by global-row validity, as everywhere else.
+
+Per-iteration float math is op-for-op ``lssd_force`` +
+``elastic.sor_sweep(ordering="redblack")`` + ``fluid.make_fluid_step``'s
+material derivative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
+from opticalflow2d_tpu.pallas_kernels.elastic_block import sor_candidate_tile
+
+_PAD = 8  # cone reach is 2 rows (red + black half-sweeps), 8-aligned
+
+
+def _fluid_body(u, vel, g, gi0, vel_ref, r_ref, max_ref, *, mu: float,
+                lam: float, omega: float, reference_stencil: bool,
+                maxabs_bug: bool, tb: int, pad: int, nx):
+    """One fluid iteration's fusable part on one extended tile.
+    ``u, vel [2, e, ny]``, ``g [3, e, ny]`` (gx, gy, It); ``gi0`` the
+    global row of tile row 0 (traced ok), ``nx`` the global x extent
+    (traced ok). Writes the interior velocity and increment plus this
+    block's max-|R|^2 partial (broadcast over 8 sublanes)."""
+    e = tb + 2 * pad
+    ny = u.shape[-1]
+    gx, gy, it_img = g[0], g[1], g[2]
+
+    gi = lax.broadcasted_iota(jnp.int32, (e, ny), 0) + gi0
+    gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
+    interior = (gi >= 1) & (gi <= nx - 2) & (gj >= 1) & (gj <= ny - 2)
+    red = (((gi + gj) % 2) == 0) & interior
+    black = (((gi + gj) % 2) == 1) & interior
+
+    # 1. L-SSD force at the *motion* u (OpticalFlow.cpp:15-39; rhs of the
+    #    Navier-Lame solve for the velocity).
+    inner = it_img + u[0] * gx + u[1] * gy
+    b = g[:2] * inner[None]
+
+    # 2. One red-black SOR sweep on the velocity (warm-started across
+    #    iterations by the caller's carry), borders untouched.
+    cand = sor_candidate_tile(vel, b, mu, lam, omega, reference_stencil)
+    v_half = jnp.where(red[None], cand, vel)
+    cand = sor_candidate_tile(v_half, b, mu, lam, omega, reference_stencil)
+    v_new = jnp.where(black[None], cand, v_half)
+
+    # 3. Material derivative R = v - (du/dx) v_x - (du/dy) v_y
+    #    (OpticalFlowFluid.cpp:60-90). One-sided d/du at the global
+    #    borders, ops.grid.partial_x/y expression-for-expression.
+    nxt = pltpu.roll(u, e - 1, 1)
+    prv = pltpu.roll(u, 1, 1)
+    dudx = jnp.where(gi[None] == 0, nxt - u,
+                     jnp.where(gi[None] == nx - 1, u - prv,
+                               (nxt - prv) * 0.5))
+    nyt = pltpu.roll(u, ny - 1, 2)
+    pvy = pltpu.roll(u, 1, 2)
+    dudy = jnp.where(gj[None] == 0, nyt - u,
+                     jnp.where(gj[None] == ny - 1, u - pvy,
+                               (nyt - pvy) * 0.5))
+    r = v_new - dudx * v_new[0:1] - dudy * v_new[1:2]
+
+    vel_ref[:, :, :] = v_new[:, pad:pad + tb, :]
+    r_ref[:, :, :] = r[:, pad:pad + tb, :]
+
+    # 4. Per-block max |R|^2 partial (Motion.cpp:51-58 semantics; bug mode
+    #    doubles the y component). max is exact under any association, so
+    #    the caller's sqrt(max(partials)) equals motion_maxabs bitwise.
+    ri = r[:, pad:pad + tb, :]
+    if maxabs_bug:
+        normsq = ri[1] ** 2 + ri[1] ** 2
+    else:
+        normsq = ri[0] ** 2 + ri[1] ** 2
+    m = jnp.max(normsq, axis=0, keepdims=True)  # [1, ny]
+    max_ref[0, :, :] = jnp.broadcast_to(m, (8, ny))
+
+
+def _dense_kernel(u_c, u_up, u_dn, v_c, v_up, v_dn, g_c, g_up, g_dn,
+                  vel_ref, r_ref, max_ref, **kw):
+    i = pl.program_id(0)
+    u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
+    vel = jnp.concatenate([v_up[:, :, :], v_c[:, :, :], v_dn[:, :, :]], axis=1)
+    g = jnp.concatenate([g_up[:, :, :], g_c[:, :, :], g_dn[:, :, :]], axis=1)
+    _fluid_body(u, vel, g, i * kw["tb"] - kw["pad"], vel_ref, r_ref,
+                max_ref, **kw)
+
+
+# Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
+# benchmarks/r6_results.jsonl `fluid_*` rows).
+_TIERS = ((1024, 128, 48 * MB), (2048, 64, 48 * MB), (4096, 32, 64 * MB),
+          (8192, 16, 64 * MB))
+
+
+def _tier(ny: int):
+    for cap_ny, tb_cap, limit in _TIERS:
+        if ny <= cap_ny:
+            return tb_cap, limit
+    return None
+
+
+def fluid_feasible(nx: int, ny: int) -> bool:
+    """True when a (tile, vmem-limit) tier exists and the shape admits the
+    clamped-halo tiling (nx a multiple of the 8-row pad; callers fall back
+    to the jnp step otherwise — pyramid levels are frequently odd)."""
+    return _tier(ny) is not None and nx % _PAD == 0 and nx >= 2 * _PAD
+
+
+def _pick_tb(nx: int, ny: int, tb: int | None):
+    tier = _tier(ny)
+    tb_cap, limit = tier if tier is not None else (_PAD, 64 * MB)
+    if tb and nx % tb == 0 and tb % _PAD == 0:
+        return tb, limit
+    for cand in range(min(tb_cap, nx), _PAD - 1, -_PAD):
+        if nx % cand == 0:
+            return cand, limit
+    return _PAD, limit
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mu", "lam", "omega", "reference_stencil", "maxabs_bug", "tb"))
+def fluid_iter_pallas(u, vel, g, mu: float, lam: float, omega: float,
+                      reference_stencil: bool = True,
+                      maxabs_bug: bool = False, tb: int | None = None):
+    """The fusable part of one fluid iteration in a single VMEM pass.
+
+    ``u, vel [2, nx, ny]``, ``g = stack_derivs(grad_i, it) [3, nx, ny]``.
+    Returns ``(vel_new, r, maxsq)`` where ``maxsq`` is the global max of
+    |R|^2 (per ``maxabs_bug``); the caller computes ``dt = dumax /
+    sqrt(maxsq)`` and the conditional Euler update — see
+    ``solvers.fluid.make_fluid_step``.
+
+    Reference: ``src/regularization/OpticalFlow/OpticalFlowFluid.cpp:
+    123-140`` (force + SOR + material derivative + maxabs).
+    """
+    _, nx, ny = u.shape
+    pad = _PAD
+    tb, vmem_limit = _pick_tb(nx, ny, tb)
+    nblocks = nx // tb
+    r_blk = tb // pad
+    last = nx // pad - 1
+    up = lambda i: jnp.maximum(i * r_blk - 1, 0)
+    dn = lambda i: jnp.minimum((i + 1) * r_blk, last)
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((3, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((3, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((3, pad, ny), lambda i: (0, dn(i), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _dense_kernel, mu=mu, lam=lam, omega=omega,
+        reference_stencil=reference_stencil, maxabs_bug=maxabs_bug,
+        tb=tb, pad=pad, nx=nx,
+    )
+    vel_new, r, maxp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
+        ],
+    )(u, u, u, vel, vel, vel, g, g, g)
+    return vel_new, r, jnp.max(maxp)
