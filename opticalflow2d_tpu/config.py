@@ -61,6 +61,19 @@ class CompatFlags:
     # converged fields is the primary contract.
     elastic_stencil_reference: bool = True
 
+    # The reference MEX wrapper keeps one ImageRegistration object alive
+    # across register calls, so a second OpticalFlow2d(Iref, Imov) call
+    # CONTINUES from persistent state: the coarsest-level field
+    # motion[nscales] is never re-seeded (estimate_motion skips the
+    # downsample at s == nscales, reference src/ImageRegistration.cpp:
+    # 137-139), so it carries the previous call's coarse solution into the
+    # new call; for nscales == 0 the full-resolution field itself carries
+    # over (WrapperOpticalFlow2d.cpp:86-102). True = the session object
+    # reproduces this warm-continuation statefulness; False (default) =
+    # every register() starts from zero, which is the self-consistent
+    # behavior.
+    persistent_motion: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RegConfig:

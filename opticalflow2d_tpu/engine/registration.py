@@ -60,6 +60,11 @@ class LevelTrace(NamedTuple):
 class RegistrationResult(NamedTuple):
     motion: jnp.ndarray           # [2, nx, ny]
     traces: Tuple[LevelTrace, ...]  # ordered coarse -> fine, refine-major
+    # Final coarsest-level field (the reference's motion[nscales]) — the
+    # state a repeated register call continues from when
+    # CompatFlags.persistent_motion is on (None for partial-pyramid runs
+    # that skip the coarsest level).
+    coarse_motion: jnp.ndarray | None = None
 
 
 def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
@@ -414,7 +419,7 @@ def _solve_level(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
 def _register_impl(
     iref: jnp.ndarray, imov: jnp.ndarray, cfg: RegConfig, initial_motion=None,
-    start_scale=None, stop_scale=0,
+    start_scale=None, stop_scale=0, initial_coarse_motion=None,
 ):
     dtype = cfg.jnp_dtype
     iref = iref.astype(dtype)
@@ -446,14 +451,26 @@ def _register_impl(
         # s == nscales); here the coarsest level is re-seeded by downsampling
         # the warm-start field, which is better-behaved and self-consistent.
         u_full = jnp.asarray(initial_motion, dtype)
+    elif initial_coarse_motion is not None and cfg.nscales == 0:
+        # Single-scale repeated-register continuation: the coarsest level
+        # IS the full-resolution field (WrapperOpticalFlow2d.cpp:86-102).
+        u_full = jnp.asarray(initial_coarse_motion, dtype)
     else:
         u_full = jnp.zeros((2,) + dims[0], dtype)
     if start_scale is None:
         start_scale = cfg.nscales
     traces = []
+    coarse_final = None
     for s in range(start_scale, stop_scale - 1, -1):
         if s == cfg.nscales and s > 0:
-            if initial_motion is not None:
+            if initial_coarse_motion is not None:
+                # Repeated-register warm continuation (CompatFlags.
+                # persistent_motion): the reference never re-seeds
+                # motion[nscales], so a second register call continues the
+                # coarsest level from the previous call's coarse solution
+                # (ImageRegistration.cpp:137-139).
+                u_s = jnp.asarray(initial_coarse_motion, dtype)
+            elif initial_motion is not None:
                 u_s = downsample_motion(u_full, dims[s])
             else:
                 # Coarsest level starts from zero: the reference skips the
@@ -469,17 +486,28 @@ def _register_impl(
             u_s, irefs[s], imovs[s], cfg, int(cfg.niter[s]), s
         )
         traces.extend(level_traces)
+        if s == cfg.nscales:
+            coarse_final = u_s
 
         if s > 0:
             u_full = upsample_motion(u_s, dims[0])
         else:
             u_full = u_s
 
-    return RegistrationResult(motion=u_full, traces=tuple(traces))
+    return RegistrationResult(motion=u_full, traces=tuple(traces),
+                              coarse_motion=coarse_final)
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_register(cfg: RegConfig, warm: bool, start_scale, stop_scale):
+def _jitted_register(cfg: RegConfig, warm: bool, start_scale, stop_scale,
+                     warm_coarse: bool = False):
+    if warm_coarse:
+        return jax.jit(
+            lambda iref, imov, uc: _register_impl(
+                iref, imov, cfg, None, start_scale, stop_scale,
+                initial_coarse_motion=uc,
+            )
+        )
     if warm:
         return jax.jit(
             lambda iref, imov, u0: _register_impl(
@@ -495,7 +523,7 @@ def _jitted_register(cfg: RegConfig, warm: bool, start_scale, stop_scale):
 
 def register(
     iref, imov, cfg: RegConfig, initial_motion=None,
-    start_scale=None, stop_scale=0,
+    start_scale=None, stop_scale=0, initial_coarse_motion=None,
 ) -> RegistrationResult:
     """Estimate the motion field u with T(x + u) ~= R(x).
 
@@ -505,8 +533,14 @@ def register(
       cfg: registration configuration (static; one XLA compilation per
         distinct (cfg, shape)).
       initial_motion: optional ``[2, nx, ny]`` warm-start field (checkpoint
-        resume, sequential frames); equivalent to the reference's persistent
-        motion state across repeated register calls.
+        resume, sequential frames): the full-resolution field seeds every
+        pyramid level by downsampling (self-consistent warm start).
+      initial_coarse_motion: optional coarsest-level field — the
+        reference's repeated-register semantics, where ONLY
+        ``motion[nscales]`` persists across calls (the coarsest downsample
+        is skipped, ImageRegistration.cpp:137-139). Used by the session
+        object under ``CompatFlags.persistent_motion``. Mutually exclusive
+        with ``initial_motion``.
       start_scale / stop_scale: run only pyramid scales
         ``start_scale .. stop_scale`` (inclusive, coarse -> fine; defaults
         cover the whole pyramid). With ``start_scale < cfg.nscales`` pass the
@@ -529,6 +563,22 @@ def register(
         raise ValueError(f"start_scale {start_scale} outside 0..{cfg.nscales}")
     if not 0 <= stop_scale <= (cfg.nscales if start_scale is None else start_scale):
         raise ValueError(f"stop_scale {stop_scale} outside the pyramid range")
+    if initial_coarse_motion is not None:
+        if initial_motion is not None:
+            raise ValueError(
+                "initial_motion and initial_coarse_motion are mutually "
+                "exclusive (full-res warm start vs reference repeated-"
+                "register continuation)"
+            )
+        dims = pyramid_dims(iref.shape, cfg.nscales)
+        uc = jnp.asarray(initial_coarse_motion)
+        if uc.shape != (2,) + dims[cfg.nscales]:
+            raise ValueError(
+                f"initial_coarse_motion must be [2, {dims[cfg.nscales][0]}, "
+                f"{dims[cfg.nscales][1]}] (coarsest level), got {uc.shape}"
+            )
+        return _jitted_register(cfg, False, start_scale, stop_scale,
+                                warm_coarse=True)(iref, imov, uc)
     if initial_motion is not None:
         u0 = jnp.asarray(initial_motion)
         if u0.shape != (2,) + iref.shape:

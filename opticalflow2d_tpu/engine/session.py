@@ -93,11 +93,25 @@ class OpticalFlow2d:
         return "\n".join(lines)
 
     def register(self, iref, imov) -> RegistrationResult:
-        """Run the registration; motion is retained for get_motion()/warp()."""
+        """Run the registration; motion is retained for get_motion()/warp().
+
+        With ``CompatFlags.persistent_motion`` a second register call
+        CONTINUES from the previous one, exactly as the reference's
+        persistent MEX object does: only the coarsest-level field
+        ``motion[nscales]`` survives between calls — the coarsest
+        downsample is skipped (ImageRegistration.cpp:137-139), so the new
+        pyramid's coarse level starts from the stale coarse solution (for
+        ``nscales == 0`` that IS the full-resolution field,
+        WrapperOpticalFlow2d.cpp:86-102)."""
         iref = jnp.asarray(iref)
         if iref.shape != self.dims:
             raise ValueError(f"expected images of shape {self.dims}, got {iref.shape}")
-        self._result = register(iref, imov, self.config)
+        warm_coarse = None
+        if (self.config.compat.persistent_motion and self._result is not None
+                and self._result.coarse_motion is not None):
+            warm_coarse = self._result.coarse_motion
+        self._result = register(iref, imov, self.config,
+                                initial_coarse_motion=warm_coarse)
         if self.verbose:
             for t in self._result.traces:
                 n = int(t.iterations)

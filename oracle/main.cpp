@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <stdexcept>
+#include <string>
 #include <vector>
 
 #include <src/coord2d.h>
@@ -192,6 +193,27 @@ int main(int argc, char** argv) {
         regobj->set_moving_image(Imov);
 
         regobj->estimate_motion();
+
+        // Repeated-register mode (OF2D_ORACLE_PAIR2="iref2:imov2"): run a
+        // SECOND register call on the same persistent object, exactly as
+        // the MEX wrapper does across OpticalFlow2d(Iref, Imov) calls
+        // (WrapperOpticalFlow2d.cpp:86-102). The outputs then reflect the
+        // warm-continued second call (stale motion[nscales],
+        // ImageRegistration.cpp:137-139).
+        if (const char* pair2 = std::getenv("OF2D_ORACLE_PAIR2")) {
+            std::string spec(pair2);
+            size_t colon = spec.find(':');
+            if (colon == std::string::npos)
+                throw std::runtime_error("OF2D_ORACLE_PAIR2 must be iref2:imov2");
+            std::vector<double> iref2 = read_raw(spec.substr(0, colon).c_str(), size);
+            imov_buf = read_raw(spec.substr(colon + 1).c_str(), size);
+            Image Iref2(dimin), Imov2(dimin);
+            Iref2.set_image(iref2.data());
+            Imov2.set_image(imov_buf.data());
+            regobj->set_reference_image(Iref2);
+            regobj->set_moving_image(Imov2);
+            regobj->estimate_motion();
+        }
 
         Motion motion(dimin);
         regobj->copy_estimated_motion(motion);

@@ -36,9 +36,15 @@ def run_oracle(
     regparams,
     niter,
     timeout: float = 300.0,
+    pair2=None,
 ):
     """Run the reference implementation; returns (motion [2, nx, ny],
-    warped [nx, ny]) as float64."""
+    warped [nx, ny]) as float64.
+
+    ``pair2=(iref2, imov2)``: repeated-register mode — the oracle runs a
+    SECOND register call on the same persistent object (the reference MEX
+    wrapper's statefulness) and the outputs reflect that warm-continued
+    second call."""
     ensure_oracle()
     nx, ny = iref.shape
     with tempfile.TemporaryDirectory() as td:
@@ -48,13 +54,21 @@ def run_oracle(
         pwar = os.path.join(td, "warped.raw")
         _write_raw(pref, iref)
         _write_raw(pmov, imov)
+        env = None
+        if pair2 is not None:
+            pref2 = os.path.join(td, "iref2.raw")
+            pmov2 = os.path.join(td, "imov2.raw")
+            _write_raw(pref2, pair2[0])
+            _write_raw(pmov2, pair2[1])
+            env = dict(os.environ, OF2D_ORACLE_PAIR2=f"{pref2}:{pmov2}")
         args = (
             [ORACLE_BIN, pref, pmov, pmot, pwar, str(nx), str(ny),
              str(nscales), str(nrefine), str(int(reg)), str(len(regparams))]
             + [repr(float(p)) for p in regparams]
             + [str(int(n)) for n in niter]
         )
-        proc = subprocess.run(args, capture_output=True, timeout=timeout)
+        proc = subprocess.run(args, capture_output=True, timeout=timeout,
+                              env=env)
         if proc.returncode != 0:
             raise RuntimeError(
                 f"oracle failed ({proc.returncode}): {proc.stderr.decode()[-2000:]}"

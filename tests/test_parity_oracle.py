@@ -298,3 +298,72 @@ def test_demo_scale_fluid_parity():
     u = np.asarray(res.motion, np.float64)
     assert endpoint_error(u, u_ref) < 1e-4
     assert np.abs(u - u_ref).max() < 1e-2
+
+
+# --- Repeated-register warm continuation (persistent MEX state) ------------
+
+def test_repeated_register_bit_parity(pair):
+    """A second register call on a persistent session continues from the
+    stale coarsest-level field, exactly as the reference MEX object does
+    (ImageRegistration.cpp:137-139 skips the coarsest downsample;
+    WrapperOpticalFlow2d.cpp:86-102 keeps the object alive)."""
+    from opticalflow2d_tpu import OpticalFlow2d
+
+    iref, imov = pair
+    iref2, imov2 = make_pair(48, 40, shift=(-0.9, 1.1))
+    u_ref, _ = run_oracle(iref, imov, 1, 2, int(Method.DIFFUSION), [0.5],
+                          [40, 20], pair2=(iref2, imov2))
+
+    sess = OpticalFlow2d(
+        (48, 40), [40, 20], 1, Method.DIFFUSION, [0.5], nrefine=2,
+        compat=CompatFlags(maxabs_bug=True, conv_flatwrap=True,
+                           persistent_motion=True),
+        warp_halo=0, warp_halo_outer=0,
+    )
+    sess.register(iref, imov)
+    res2 = sess.register(iref2, imov2)
+    u = np.asarray(res2.motion, np.float64)
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+def test_repeated_register_single_scale_bit_parity(pair):
+    """nscales=0: the full-resolution field itself carries across register
+    calls (the coarsest level IS motion[0])."""
+    from opticalflow2d_tpu import OpticalFlow2d
+
+    iref, imov = pair
+    iref2, imov2 = make_pair(48, 40, shift=(-0.9, 1.1))
+    u_ref, _ = run_oracle(iref, imov, 0, 1, int(Method.THIRIONS_DEMONS),
+                          [1.0, 0.25, 2.0, 2.0, 5, 0], [15],
+                          pair2=(iref2, imov2))
+
+    sess = OpticalFlow2d(
+        (48, 40), [15], 0, Method.THIRIONS_DEMONS,
+        [1.0, 0.25, 2.0, 2.0, 5, 0],
+        compat=CompatFlags(maxabs_bug=True, conv_flatwrap=True,
+                           persistent_motion=True),
+        warp_halo=0, warp_halo_outer=0,
+    )
+    sess.register(iref, imov)
+    res2 = sess.register(iref2, imov2)
+    u = np.asarray(res2.motion, np.float64)
+    assert endpoint_error(u, u_ref) < 1e-5
+    assert np.abs(u - u_ref).max() < 1e-4
+
+
+def test_repeated_register_off_by_default(pair):
+    """Without persistent_motion a second register is independent: it must
+    equal a fresh session's result on the same pair."""
+    from opticalflow2d_tpu import OpticalFlow2d
+
+    iref, imov = pair
+    iref2, imov2 = make_pair(48, 40, shift=(-0.9, 1.1))
+    kw = dict(warp_halo=0, warp_halo_outer=0)
+    sess = OpticalFlow2d((48, 40), [20, 10], 1, Method.DIFFUSION, [0.5], **kw)
+    sess.register(iref, imov)
+    res2 = sess.register(iref2, imov2)
+    fresh = OpticalFlow2d((48, 40), [20, 10], 1, Method.DIFFUSION, [0.5], **kw)
+    resf = fresh.register(iref2, imov2)
+    np.testing.assert_array_equal(np.asarray(res2.motion),
+                                  np.asarray(resf.motion))
