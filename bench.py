@@ -1,13 +1,23 @@
 """Headline benchmark: Horn-Schunck diffusion solver throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mpixels/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mpixels/s/chip", "vs_baseline": N,
+   "ceiling": N, "baseline_mpix_s": N}
 
-The metric is pixel-iterations per second of the hot PDE-update loop
-(SURVEY.md §3.4 / BASELINE.md north-star: Mpixels/s/chip PDE-solver
-throughput). ``vs_baseline`` is the speedup over the single-core C++
-reference performing the same update (oracle bench mode, measured on this
-host; falls back to a recorded measurement if the toolchain is missing).
+``value`` is the PRODUCTION configuration — the temporal-blocked Pallas
+kernel with the per-iteration Logger error sums ON, exactly what
+``register()`` executes for its convergence gate (engine/registration.py
+``_solve_level_blocked``). ``ceiling`` is the same kernel with errors off
+(the kernel's upper bound, previously the headline; kept as a secondary
+field for continuity with BENCH_r01/r02).
+
+``vs_baseline`` divides by a PINNED single-core C++ reference measurement
+(oracle bench mode, protocol recorded in BASELINE.md: 1024^2, 30 iters,
+best of 5 back-to-back runs on this host class). Re-measuring the C++
+baseline inside every bench run made the ratio swing ~2x with host load
+(10.15 vs 15.9 Mpix/s across rounds 1-2); a pinned best-of-N number keeps
+the ratio reproducible. Set OF2D_REMEASURE_BASELINE=1 to re-run the
+protocol instead.
 """
 
 import json
@@ -22,11 +32,17 @@ NX = NY = 1024
 # overhead (~28 ms through the remote-TPU tunnel).
 ITERS_LO = 1000
 ITERS_HI = 5000
-# oracle bench 1024x1024, single-core g++ -O2, measured on this host.
-FALLBACK_CPP_MPIX_S = 10.15
+# Pinned C++ baseline: oracle bench 1024 1024 30, best of 5 (g++ -O2,
+# single core, this host class; BASELINE.md "baseline protocol"). The
+# best-of is deliberate: the HIGHEST observed baseline gives the most
+# conservative speedup claim.
+PINNED_CPP_MPIX_S = 16.27
+BLOCK_K = 16
 
 
 def cpp_baseline() -> float:
+    if not os.environ.get("OF2D_REMEASURE_BASELINE"):
+        return PINNED_CPP_MPIX_S
     repo = os.path.dirname(os.path.abspath(__file__))
     binary = os.path.join(repo, "oracle", "build", "oracle")
     try:
@@ -35,17 +51,21 @@ def cpp_baseline() -> float:
                 [os.path.join(repo, "oracle", "build.sh")],
                 check=True, capture_output=True, timeout=300,
             )
-        out = subprocess.run(
-            [binary, "bench", str(NX), str(NY), "30"],
-            check=True, capture_output=True, timeout=600,
-        )
-        return float(json.loads(out.stdout.decode())["mpixels_per_s"])
+        best = 0.0
+        for _ in range(5):
+            out = subprocess.run(
+                [binary, "bench", str(NX), str(NY), "30"],
+                check=True, capture_output=True, timeout=600,
+            )
+            best = max(best,
+                       float(json.loads(out.stdout.decode())["mpixels_per_s"]))
+        return best
     except Exception as e:  # pragma: no cover
-        print(f"bench: using recorded C++ baseline ({e})", file=sys.stderr)
-        return FALLBACK_CPP_MPIX_S
+        print(f"bench: using pinned C++ baseline ({e})", file=sys.stderr)
+        return PINNED_CPP_MPIX_S
 
 
-def tpu_throughput() -> float:
+def tpu_throughput(with_errors: bool) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,9 +82,10 @@ def tpu_throughput() -> float:
 
     # Hot update loop: the temporal-blocked Pallas kernel (k iterations
     # per HBM pass, bit-identical interiors — see
-    # pallas_kernels/diffusion_block.py; 14.5 vs 25-28 us/iter measured on
-    # v5e @1024^2), falling back to the jnp step if unavailable.
-    BLOCK_K = 16
+    # pallas_kernels/diffusion_block.py), falling back to the jnp step if
+    # unavailable. with_errors=True emits the per-iteration Logger sums
+    # the production driver's convergence gate consumes; the bench carries
+    # them into the result so XLA cannot dead-code them away.
     try:
         from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
             diffusion_block_pallas, stack_derivs, _pick_tiles,
@@ -74,10 +95,20 @@ def tpu_throughput() -> float:
             raise ValueError("no tiling")
         g = stack_derivs(d.grad_i, d.it)
 
-        def step(u):
-            return diffusion_block_pallas(
-                u, g, 0.5, k=BLOCK_K, with_errors=False
-            )[0]
+        if with_errors:
+            def step(carry):
+                u, acc = carry
+                u, sums = diffusion_block_pallas(
+                    u, g, 0.5, k=BLOCK_K, with_errors=True
+                )
+                return (u, acc + jnp.sum(sums))
+        else:
+            def step(carry):
+                u, acc = carry
+                u, _ = diffusion_block_pallas(
+                    u, g, 0.5, k=BLOCK_K, with_errors=False
+                )
+                return (u, acc)
 
         calls_per_iter = BLOCK_K
     except Exception as e:  # pragma: no cover
@@ -87,21 +118,23 @@ def tpu_throughput() -> float:
 
         dd = Derivatives(d.grad_i, d.it)
 
-        def step(u):
-            return diffusion_step(u, dd, 0.5)
+        def step(carry):
+            u, acc = carry
+            return (diffusion_step(u, dd, 0.5), acc)
 
         calls_per_iter = 1
 
     def make(iters):
         @jax.jit
         def run(u, grad_i, it_img):
-            u = jax.lax.fori_loop(
-                0, iters // calls_per_iter, lambda _, v: step(v), u
+            u, acc = jax.lax.fori_loop(
+                0, iters // calls_per_iter, lambda _, c: step(c),
+                (u, jnp.float32(0)),
             )
             # Reduce to a scalar inside the program: forcing the scalar to
             # host is the only reliable execution barrier through the
             # remote-TPU tunnel (block_until_ready can return early).
-            return jnp.sum(u)
+            return jnp.sum(u) + acc
 
         return run
 
@@ -126,12 +159,15 @@ def tpu_throughput() -> float:
 
 def main():
     cpp = cpp_baseline()
-    tpu = tpu_throughput()
+    prod = tpu_throughput(with_errors=True)
+    ceil = tpu_throughput(with_errors=False)
     print(json.dumps({
         "metric": "hs_diffusion_solver_throughput",
-        "value": round(tpu, 1),
+        "value": round(prod, 1),
         "unit": "Mpixels/s/chip",
-        "vs_baseline": round(tpu / cpp, 1),
+        "vs_baseline": round(prod / cpp, 1),
+        "ceiling": round(ceil, 1),
+        "baseline_mpix_s": cpp,
     }))
 
 

@@ -160,6 +160,17 @@ class RegConfig:
     # than the per-iteration increments. At 1024^2 the halo=4 roll path runs
     # ~3 ms vs ~30 ms for the exact gather these calls otherwise hit.
     warp_halo_outer: int = 4
+    # Driver-level halo automation: run the coarse pyramid levels first,
+    # read back ONE scalar (max |u| of the upsampled coarse motion), pick
+    # warp_halo = ceil(max|u| + 0.3) clamped to [1, 4] for the
+    # full-resolution level, and run it warm-started from the coarse field
+    # (the same level-boundary split as checkpoint resume; matches the
+    # monolithic run to ~1 ulp). Protects against the silent exact-gather
+    # cliff when the default halo underestimates the motion (6.5 s vs
+    # 1.3 s @4096^2 demons, RESULTS.md r4); an underestimate mid-level is
+    # still counted in LevelTrace.fallbacks. Ignored for nscales == 0 or
+    # partial-pyramid (start/stop_scale) runs.
+    warp_halo_auto: bool = False
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.

@@ -38,7 +38,12 @@ from opticalflow2d_tpu.ops.resample import (
     downsample_motion,
     upsample_motion,
 )
-from opticalflow2d_tpu.ops.warp import warp2d, compose
+from opticalflow2d_tpu.ops.warp import (
+    warp2d,
+    compose,
+    _displacement_bounded,
+    _sample_coords,
+)
 from opticalflow2d_tpu.solvers.base import Derivatives, derivatives
 from opticalflow2d_tpu.solvers.diffusion import diffusion_step
 from opticalflow2d_tpu.solvers.curvature import make_curvature_step
@@ -55,6 +60,11 @@ class LevelTrace(NamedTuple):
     errors: jnp.ndarray      # [niter] relative step norms (0 past early stop)
     iterations: jnp.ndarray  # iterations actually executed
     regrids: jnp.ndarray     # fluid regrid count (0 for other methods)
+    # Iterations whose motion exceeded warp_halo, forcing the runtime
+    # exact-gather fallback (demons only; the 4x-50x @4096^2 cliff of
+    # RESULTS.md r4 is invisible without this). 0 when halo fits or the
+    # method never re-warps mid-level.
+    fallbacks: jnp.ndarray | int = 0
 
 
 class RegistrationResult(NamedTuple):
@@ -383,29 +393,41 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         use_pallas=cfg.use_pallas,
     )
 
+    count_fallbacks = cfg.warp_halo > 0
+
     traces = []
     for _refine in range(cfg.nrefine):
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
 
         def cond(carry):
-            _, _, it, conv, _ = carry
+            _, _, it, conv, _, _ = carry
             return (it < niter) & ~conv
 
         def body(carry):
-            u_est, prev, it, conv, errs = carry
+            u_est, prev, it, conv, errs, nfb = carry
+            if count_fallbacks:
+                # The same predicate the step's lax.cond evaluates: count
+                # the iterations that take the exact-gather fallback so an
+                # undersized warp_halo is visible in the trace instead of
+                # a silent 4x-50x slowdown (ops/warp.py:147-149).
+                px, py = _sample_coords(u_est)
+                bounded = _displacement_bounded(
+                    iaux[None], px, py, cfg.warp_halo)
+                nfb = nfb + (~bounded).astype(jnp.int32)
             u_new = step(u_est, iref, iaux)
             err = _rel_step_error(u_new, prev)
             _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
-            return (u_new, u_new, it + 1, conv, errs)
+            return (u_new, u_new, it + 1, conv, errs, nfb)
 
         u0 = jnp.zeros_like(u)
         errs0 = jnp.zeros((niter,), u.dtype)
-        carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
-        u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
+        carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0))
+        u_est, _, it, _, errs, nfb = lax.while_loop(cond, body, carry)
         u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
-        traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
+        traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0),
+                                 fallbacks=nfb))
     return u, traces
 
 
@@ -563,6 +585,30 @@ def register(
         raise ValueError(f"start_scale {start_scale} outside 0..{cfg.nscales}")
     if not 0 <= stop_scale <= (cfg.nscales if start_scale is None else start_scale):
         raise ValueError(f"stop_scale {stop_scale} outside the pyramid range")
+    if (cfg.warp_halo_auto and cfg.nscales >= 1 and start_scale is None
+            and stop_scale == 0 and initial_motion is None
+            and initial_coarse_motion is None):
+        # Two-phase auto halo (config.warp_halo_auto): coarse levels with
+        # the configured halo (small grids — a fallback there is cheap),
+        # one scalar readback of the upsampled coarse motion's max
+        # component, then the full-resolution level with the fitted halo.
+        import dataclasses as _dc
+        import math as _math
+
+        base = _dc.replace(cfg, warp_halo_auto=False)
+        coarse = register(iref, imov, base, stop_scale=1)
+        maxu = float(jnp.max(jnp.abs(coarse.motion)))
+        h = max(1, min(4, _math.ceil(maxu + 0.3)))
+        fitted = _dc.replace(base, warp_halo=h,
+                             warp_halo_outer=max(h, cfg.warp_halo_outer))
+        fine = register(iref, imov, fitted, initial_motion=coarse.motion,
+                        start_scale=0)
+        return RegistrationResult(
+            motion=fine.motion,
+            traces=coarse.traces + fine.traces,
+            coarse_motion=coarse.coarse_motion,
+        )
+
     if initial_coarse_motion is not None:
         if initial_motion is not None:
             raise ValueError(
