@@ -216,14 +216,19 @@ def _strip_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
 
 
 # Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
-# benchmarks/r6_results.jsonl). The chain keeps more live planes than
-# kernel B (warp taps + both smooths) but the per-channel compose halves
-# the select-chain peak. Numbers below are the BlockSpec-halo dense path;
-# the first jnp.pad-based cut ran 294 us @1024 tb=128 (the pad copies
-# alone cost ~45%).
-_TIERS_H2 = ((1024, 128, 48 * MB), (2048, 64, 64 * MB), (4096, 32, 64 * MB),
-             (8192, 16, 64 * MB))
-# halo >= 3 triples the warp/compose tap masks; start one tile down.
+# benchmarks/r6_results.jsonl `onepass halo_c` rows). The kernel is
+# VPU-bound (the select chains), not HBM-bound: the jnp.pad-based first
+# cut ran 294.0 us @1024/tb=128, the clamped-BlockSpec rework 286.8, and
+# the halo_c compose-chain cut 216.8 — vs 314.6 for the two-kernel fused
+# chain (1.45x). tb sweep: 216.8 @1024/tb=128 (257.2 at 256);
+# 937.6 @2048/tb=64 (1017.2 at 128) vs two-kernel 1312.3 (1.40x);
+# 4567.2 @4096/tb=64 (4608.1 at 32) vs two-kernel 6984.5 (1.53x).
+# NO ny=8192 tier: the axon relay rejects the compiled program ("length
+# limit exceeded" HTTP 413 / broken pipe) — feasibility returns False and
+# the driver falls back to the op-chain step there.
+_TIERS_H2 = ((1024, 128, 48 * MB), (2048, 64, 64 * MB), (4096, 64, 64 * MB))
+# halo >= 3 triples the warp/compose tap masks; start one tile down
+# (unmeasured — wide halos route through warp_halo_auto's clamp first).
 _TIERS_WIDE = ((1024, 64, 48 * MB), (2048, 32, 64 * MB), (4096, 8, 64 * MB))
 
 

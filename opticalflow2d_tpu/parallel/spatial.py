@@ -380,6 +380,31 @@ def _expmap_strip(c, halo: int, axis_name: str, use_pallas: bool = False):
 
 # --- family iteration bodies (ONE definition each) ------------------------
 
+def _demons_iter_strip_onepass(u_est, iref_l, iaux, p: dict, halo: int,
+                               axis_name: str):
+    """Thirion-only single-kernel strip iteration: the whole chain in ONE
+    VMEM pass (``pallas_kernels.demons_onepass``), fed with ppermute halo
+    pre-pads of ``required_pad`` rows and the scalar-prefetched strip
+    origin. Same contract as the dense path: the correspondence bound is
+    static (``onepass_supported``), the motion bound is the SP driver's
+    halo contract."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        required_pad, thirion_onepass_pallas)
+
+    pad = required_pad(halo, p["kernelwidth"])
+    nxl = iaux.shape[-2]
+    row0 = lax.axis_index(axis_name) * nxl
+    nxg = lax.psum(1, axis_name) * nxl
+    return thirion_onepass_pallas(
+        _halo_pad(iaux, pad, axis_name),
+        _halo_pad(iref_l, pad, axis_name),
+        _halo_pad(u_est, pad, axis_name),
+        p["sigma_i"], p["sigma_x"], p["sigma_fluid"], p["sigma_diffusion"],
+        p["kernelwidth"], halo, addition=False,
+        row0=row0, nx_glob=nxg, prepadded=True,
+    )
+
+
 def _demons_iter_strip_fused(u_est, iref_l, iaux, p: dict, halo: int,
                              diffeomorphic: bool, axis_name: str):
     """The fully fused strip-local demons iteration: two Pallas kernels
@@ -429,7 +454,18 @@ def _demons_iter_strip(u_est, iref_l, iaux, p: dict, halo: int,
     """
     if use_pallas:
         from opticalflow2d_tpu.pallas_kernels.demons_fused import fused_supported
+        from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+            onepass_feasible, onepass_supported, required_pad)
 
+        nxl, ny = iaux.shape[-2], iaux.shape[-1]
+        if (not diffeomorphic
+                and onepass_supported(halo, p["kernelwidth"], p["sigma_i"],
+                                      p["sigma_x"])
+                and onepass_feasible(nxl, ny, halo, p["kernelwidth"])
+                and nxl % required_pad(halo, p["kernelwidth"]) == 0):
+            return _demons_iter_strip_onepass(
+                u_est, iref_l, iaux, p, halo, axis_name
+            )
         if fused_supported(halo, p["kernelwidth"]):
             return _demons_iter_strip_fused(
                 u_est, iref_l, iaux, p, halo, diffeomorphic, axis_name

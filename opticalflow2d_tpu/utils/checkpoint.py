@@ -49,18 +49,47 @@ def _inputs_fingerprint(iref, imov) -> str:
 
 
 def save_checkpoint(path: str, motion, cfg, level: Optional[int] = None,
-                    inputs_fp: str = "") -> None:
-    """Write a checkpoint (atomically: temp + rename)."""
+                    inputs_fp: str = "", traces=()) -> None:
+    """Write a checkpoint (atomically: temp + rename). ``traces``: the
+    completed levels' LevelTrace tuples, persisted so a resumed run can
+    return the FULL trace history, not just the levels it ran itself."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
-    np.savez(
-        tmp,
+    payload = dict(
         motion=np.asarray(motion),
         config=_cfg_fingerprint(cfg),
         level=-1 if level is None else int(level),
         inputs=inputs_fp,
+        n_traces=len(traces),
     )
+    for i, t in enumerate(traces):
+        payload[f"t{i}_scale"] = np.asarray(t.scale)
+        payload[f"t{i}_errors"] = np.asarray(t.errors)
+        payload[f"t{i}_iterations"] = np.asarray(t.iterations)
+        payload[f"t{i}_regrids"] = np.asarray(t.regrids)
+        payload[f"t{i}_fallbacks"] = np.asarray(t.fallbacks)
+    np.savez(tmp, **payload)
     os.replace(tmp, path)
+
+
+def load_checkpoint_traces(path: str):
+    """Recover the persisted LevelTrace history from a checkpoint (empty
+    for pre-round-3 checkpoints, which did not record traces)."""
+    from opticalflow2d_tpu.engine.registration import LevelTrace
+
+    traces = []
+    with np.load(path, allow_pickle=False) as z:
+        n = int(z["n_traces"]) if "n_traces" in z else 0
+        for i in range(n):
+            traces.append(LevelTrace(
+                scale=z[f"t{i}_scale"],
+                errors=z[f"t{i}_errors"],
+                iterations=z[f"t{i}_iterations"],
+                regrids=z[f"t{i}_regrids"],
+                fallbacks=(z[f"t{i}_fallbacks"]
+                           if f"t{i}_fallbacks" in z else 0),
+            ))
+    return tuple(traces)
 
 
 def load_checkpoint(path: str, cfg=None, inputs_fp: str = "") -> Tuple[np.ndarray, int]:
@@ -99,9 +128,10 @@ def register_resumable(iref, imov, cfg, path: str, _crash_after_scale=None):
     ``_crash_after_scale`` (tests only): return ``None`` right after
     checkpointing that scale, simulating a mid-run kill.
 
-    Returns a ``RegistrationResult``; ``traces`` covers only the levels run
-    in THIS process (completed levels' traces are not persisted — the motion
-    field is the resume contract, matching the reference's stateless Logger).
+    Returns a ``RegistrationResult`` whose ``traces`` cover the FULL
+    pyramid: completed levels' traces are persisted in the checkpoint and
+    restored on resume (pre-round-3 checkpoints without them resume with
+    only this process's traces).
     """
     from opticalflow2d_tpu.engine.registration import register, RegistrationResult
 
@@ -110,23 +140,26 @@ def register_resumable(iref, imov, cfg, path: str, _crash_after_scale=None):
     inputs_fp = _inputs_fingerprint(iref, imov)
     start = cfg.nscales
     u0 = None
+    traces = []
     if os.path.exists(path):
         motion, last_done = load_checkpoint(path, cfg, inputs_fp)
+        traces = list(load_checkpoint_traces(path))
         if last_done == 0:
-            return RegistrationResult(motion=jnp.asarray(motion), traces=())
+            return RegistrationResult(motion=jnp.asarray(motion),
+                                      traces=tuple(traces))
         u0 = motion
         if last_done > 0:
             start = last_done - 1
         # last_done < 0 (level-less checkpoint): warm-start the full pyramid.
 
-    traces = []
     for s in range(start, -1, -1):
         res = register(
             iref, imov, cfg, initial_motion=u0, start_scale=s, stop_scale=s
         )
         u0 = np.asarray(res.motion)
         traces.extend(res.traces)
-        save_checkpoint(path, u0, cfg, level=s, inputs_fp=inputs_fp)
+        save_checkpoint(path, u0, cfg, level=s, inputs_fp=inputs_fp,
+                        traces=traces)
         if _crash_after_scale is not None and s == _crash_after_scale:
             return None
     return RegistrationResult(motion=jnp.asarray(u0), traces=tuple(traces))

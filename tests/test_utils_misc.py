@@ -84,18 +84,26 @@ def test_register_resumable_crash_resume_bitwise(tmp_path, rng):
     assert level == 1
 
     resumed = register_resumable(iref, imov, cfg, path)
-    # Only the remaining level ran in this process.
-    assert len(resumed.traces) == 1 and int(resumed.traces[0].scale) == 0
+    # Completed levels' traces were persisted in the checkpoint, so the
+    # resumed result covers the FULL pyramid (scales 2, 1, 0).
+    assert [int(t.scale) for t in resumed.traces] == [2, 1, 0]
 
     straight = register(iref, imov, cfg)
     np.testing.assert_allclose(
         np.asarray(resumed.motion), np.asarray(straight.motion),
         rtol=1e-5, atol=1e-6,
     )
+    # The persisted traces equal the uninterrupted run's, value for value.
+    for tr, ts in zip(resumed.traces, straight.traces):
+        assert int(tr.iterations) == int(ts.iterations)
+        np.testing.assert_allclose(np.asarray(tr.errors),
+                                   np.asarray(ts.errors),
+                                   rtol=1e-5, atol=1e-7)
 
-    # A third call is a no-op returning the stored field exactly.
+    # A third call is a no-op returning the stored field exactly, with the
+    # full trace history.
     again = register_resumable(iref, imov, cfg, path)
-    assert again.traces == ()
+    assert [int(t.scale) for t in again.traces] == [2, 1, 0]
     np.testing.assert_array_equal(
         np.asarray(again.motion), np.asarray(resumed.motion)
     )
