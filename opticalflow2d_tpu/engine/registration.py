@@ -382,6 +382,11 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     """Thirion / diffeomorphic demons: the solver re-warps and re-derives
     every iteration (reference ImageRegistrationDemons.cpp:86-137)."""
+    # The Logger's "prev" is always the step's input (the last iterate),
+    # so the relative error comes from the step's own Logger sums — free
+    # inside the one-pass kernel (both fields are in VMEM), one fused
+    # elementwise pass elsewhere. sums/N equals motion_norm bitwise on the
+    # full-array paths, so jnp-path traces are unchanged.
     step = make_demons_step(
         cfg.sigma_i, cfg.sigma_x, cfg.sigma_diffusion, cfg.sigma_fluid,
         cfg.kernelwidth,
@@ -391,20 +396,22 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         maxabs_bug=cfg.compat.maxabs_bug,
         warp_halo=cfg.warp_halo,
         use_pallas=cfg.use_pallas,
+        with_errors=True,
     )
 
     count_fallbacks = cfg.warp_halo > 0
+    n_pix = u.shape[1] * u.shape[2]
 
     traces = []
     for _refine in range(cfg.nrefine):
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
 
         def cond(carry):
-            _, _, it, conv, _, _ = carry
+            _, it, conv, _, _ = carry
             return (it < niter) & ~conv
 
         def body(carry):
-            u_est, prev, it, conv, errs, nfb = carry
+            u_est, it, conv, errs, nfb = carry
             if count_fallbacks:
                 # The same predicate the step's lax.cond evaluates: count
                 # the iterations that take the exact-gather fallback so an
@@ -414,17 +421,19 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
                 bounded = _displacement_bounded(
                     iaux[None], px, py, cfg.warp_halo)
                 nfb = nfb + (~bounded).astype(jnp.int32)
-            u_new = step(u_est, iref, iaux)
-            err = _rel_step_error(u_new, prev)
+            u_new, sums = step(u_est, iref, iaux)
+            dn = sums[0] / n_pix
+            pn = sums[1] / n_pix
+            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
             _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
-            return (u_new, u_new, it + 1, conv, errs, nfb)
+            return (u_new, it + 1, conv, errs, nfb)
 
         u0 = jnp.zeros_like(u)
         errs0 = jnp.zeros((niter,), u.dtype)
-        carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0))
-        u_est, _, it, _, errs, nfb = lax.while_loop(cond, body, carry)
+        carry = (u0, jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0))
+        u_est, it, _, errs, nfb = lax.while_loop(cond, body, carry)
         u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0),
                                  fallbacks=nfb))

@@ -111,14 +111,19 @@ def _smooth_tile_full(f, gi_col, gj_row, taps, c: int, rows: int,
     return num / den[None]
 
 
-def _onepass_body(iaux, iref, u, gi0, out_ref, *, halo: int, halo_c: int,
+def _onepass_body(iaux, iref, u, gi0, out_ref, diff_ref=None, prev_ref=None,
+                  *, halo: int, halo_c: int,
                   cf: int, taps_f, cd: int, taps_d, tb: int, pad: int, nx,
-                  ny: int, sigma_i: float, sigma_x: float, addition: bool):
+                  ny: int, sigma_i: float, sigma_x: float, addition: bool,
+                  with_errors: bool = False):
     """The full Thirion chain on one extended tile. ``iaux, iref [rows,
     ny]``, ``u [2, rows, ny]`` with ``rows = tb + 2*pad``; ``gi0`` the
     global row index of tile row 0 (traced scalar ok); ``nx`` the global
     x extent (traced ok for strip callers). Writes the interior ``[2,
-    tb, ny]`` to ``out_ref``."""
+    tb, ny]`` to ``out_ref``; with ``with_errors``, also this block's
+    Logger partial sums (sum |u_new - u| and sum |u| magnitudes over its
+    rows, broadcast across 8 sublanes) — both fields are already in VMEM,
+    so the driver's relative-step error costs no extra HBM pass."""
     rows = tb + 2 * pad
 
     gi = lax.broadcasted_iota(jnp.int32, (rows, ny), 0) + gi0
@@ -179,13 +184,30 @@ def _onepass_body(iaux, iref, u, gi0, out_ref, *, halo: int, halo_c: int,
         composed = jnp.where(in_b, inc_plus, u)
 
     # 6. sigma_diffusion smoothing of the interior rows -> output.
-    out_ref[:, :, :] = _smooth_tile(
+    out_val = _smooth_tile(
         composed, gi_col, gj_row, taps_d, cd, rows, tb, nx, ny, pad=pad
     )
+    out_ref[:, :, :] = out_val
+
+    if with_errors:
+        # Logger partials (src/Logger.cpp:30-60 semantics, same row-partial
+        # scheme as the blocked kernels). Rows past the true extent (the
+        # pad-to-tile alignment rows) hold NaN from the 0/0 renormalized
+        # smooth — mask them to 0 by global-row validity.
+        gi_center = gi_col[pad:pad + tb]
+        valid = (gi_center >= 0) & (gi_center <= nx - 1)
+        u_int = u[:, pad:pad + tb, :]
+        diff = out_val - u_int
+        dmag = jnp.where(valid, jnp.sqrt(diff[0] ** 2 + diff[1] ** 2), 0.0)
+        pmag = jnp.where(valid, jnp.sqrt(u_int[0] ** 2 + u_int[1] ** 2), 0.0)
+        diff_ref[0, :, :] = jnp.broadcast_to(
+            jnp.sum(dmag, axis=0, keepdims=True), (8, ny))
+        prev_ref[0, :, :] = jnp.broadcast_to(
+            jnp.sum(pmag, axis=0, keepdims=True), (8, ny))
 
 
 def _dense_kernel(ia_c, ia_up, ia_dn, ir_c, ir_up, ir_dn, u_c, u_up, u_dn,
-                  out_ref, **kw):
+                  out_ref, diff_ref=None, prev_ref=None, **kw):
     """Dense entry: halo rows arrive as clamped up/down BlockSpec blocks
     (no input padding copies); clamp-duplicated rows at the global edges
     are masked by the body's global-row validity tests."""
@@ -193,7 +215,8 @@ def _dense_kernel(ia_c, ia_up, ia_dn, ir_c, ir_up, ir_dn, u_c, u_up, u_dn,
     iaux = jnp.concatenate([ia_up[:, :], ia_c[:, :], ia_dn[:, :]], axis=0)
     iref = jnp.concatenate([ir_up[:, :], ir_c[:, :], ir_dn[:, :]], axis=0)
     u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
-    _onepass_body(iaux, iref, u, i * kw["tb"] - kw["pad"], out_ref, **kw)
+    _onepass_body(iaux, iref, u, i * kw["tb"] - kw["pad"], out_ref,
+                  diff_ref, prev_ref, **kw)
 
 
 def _strip_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
@@ -275,12 +298,13 @@ def _pick_tb(nx: int, ny: int, halo: int, pad: int, tb: int = 0):
 
 @functools.partial(jax.jit, static_argnames=(
     "sigma_i", "sigma_x", "sigma_fluid", "sigma_diffusion", "kernelwidth",
-    "halo", "addition", "tb", "nx_glob", "prepadded"))
+    "halo", "addition", "tb", "nx_glob", "prepadded", "with_errors"))
 def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
                            sigma_fluid: float, sigma_diffusion: float,
                            kernelwidth: int, halo: int = 2,
                            addition: bool = False, tb: int = 0,
-                           row0=None, nx_glob=None, prepadded: bool = False):
+                           row0=None, nx_glob=None, prepadded: bool = False,
+                           with_errors: bool = False):
     """One full Thirion demons iteration in a single VMEM-resident pass:
     ``smooth_d(accumulate(u, smooth_f(force(derivs(iref, warp(iaux, u))))))``.
     ``iaux, iref [nx, ny]``, ``u [2, nx, ny]`` -> new motion ``[2, nx, ny]``.
@@ -290,6 +314,10 @@ def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
     static (``onepass_supported``). ``row0``/``nx_glob``/``prepadded``:
     strip-local mode — inputs pre-padded with ``required_pad`` exchanged
     halo rows per side, ``row0`` the strip's global first row.
+
+    ``with_errors`` (dense path only): also return the Logger partial
+    sums ``[sum |u_new - u|, sum |u|]`` so the driver's relative-step
+    error needs no extra pass over the fields.
 
     Reference: ``src/regularization/Demons/DemonsThirions.cpp:18-42``.
     """
@@ -326,6 +354,9 @@ def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
     )
 
     if prepadded:
+        if with_errors:
+            raise ValueError("with_errors is dense-path only (strip "
+                             "drivers reduce their own Logger sums)")
         if row0 is None:
             row0 = jnp.zeros((1,), jnp.int32)
         else:
@@ -362,6 +393,13 @@ def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
     last = nx // pad - 1
     up = lambda i: jnp.maximum(i * r - 1, 0)
     dn = lambda i: jnp.minimum((i + 1) * r, last)
+    out_specs = pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0))
+    out_shape = jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype)
+    if with_errors:
+        part_spec = pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0))
+        part_shape = jax.ShapeDtypeStruct((nblocks, 8, ny), iaux.dtype)
+        out_specs = [out_specs, part_spec, part_spec]
+        out_shape = [out_shape, part_shape, part_shape]
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[
@@ -375,12 +413,16 @@ def thirion_onepass_pallas(iaux, iref, u, sigma_i: float, sigma_x: float,
             pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
             pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
         ],
-        out_specs=pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+        out_specs=out_specs,
     )
-    out = pl.pallas_call(
-        functools.partial(_dense_kernel, **body_kw),
+    res = pl.pallas_call(
+        functools.partial(_dense_kernel, with_errors=with_errors, **body_kw),
         grid_spec=grid_spec,
         compiler_params=compiler_params(vmem_limit),
-        out_shape=jax.ShapeDtypeStruct((2, nx, ny), iaux.dtype),
+        out_shape=out_shape,
     )(iaux, iaux, iaux, iref, iref, iref, u, u, u)
-    return out[:, :nx_out] if extra else out
+    if with_errors:
+        out, diff_p, prev_p = res
+        sums = jnp.stack([jnp.sum(diff_p[:, 0, :]), jnp.sum(prev_p[:, 0, :])])
+        return (out[:, :nx_out] if extra else out), sums
+    return res[:, :nx_out] if extra else res

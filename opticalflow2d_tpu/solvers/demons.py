@@ -37,6 +37,17 @@ from opticalflow2d_tpu.ops.warp import (
 from opticalflow2d_tpu.solvers.base import derivatives, demons_force
 
 
+def logger_sums(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
+    """Logger partial pair ``[sum |u_new - u_prev|, sum |u_prev|]`` (pixel
+    magnitudes; reference src/Logger.cpp:30-60 tracks their ratio /N /N).
+    Full-array order, so ``sums/N`` equals ``ops.reduce.motion_norm``
+    bitwise — the driver's error from these matches ``_rel_step_error``."""
+    diff = u_new - u_prev
+    dsum = jnp.sum(jnp.sqrt(diff[0] ** 2 + diff[1] ** 2))
+    psum = jnp.sum(jnp.sqrt(u_prev[0] ** 2 + u_prev[1] ** 2))
+    return jnp.stack([dsum, psum])
+
+
 def make_demons_step(
     sigma_i: float,
     sigma_x: float,
@@ -49,8 +60,11 @@ def make_demons_step(
     maxabs_bug: bool = False,
     warp_halo: int = 0,
     use_pallas: bool = False,
+    with_errors: bool = False,
 ):
-    """Build the demons step ``(u, iref, imov) -> u``. ``imov`` is the
+    """Build the demons step ``(u, iref, imov) -> u`` (or ``-> (u, sums)``
+    with ``with_errors`` — ``sums = logger_sums(u_new, u)``, computed
+    inside the one-pass kernel where it is free). ``imov`` is the
     refinement-level warped moving image (the reference's ``Iaux``)."""
     from opticalflow2d_tpu.pallas_kernels.demons_fused import (
         fused_supported, fused_feasible)
@@ -82,10 +96,10 @@ def make_demons_step(
     if use_onepass:
         onepass = _make_onepass_step(
             sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
-            accumulation, warp_halo,
+            accumulation, warp_halo, with_errors,
         )
 
-    def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
+    def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray):
         # Shape gates evaluated at trace time: the fused kernels need a
         # measured (tile, vmem-limit) tier at this (ny, halo) — otherwise
         # run the op-chain step below (its warps/composes use the lighter
@@ -93,8 +107,10 @@ def make_demons_step(
         if use_onepass and onepass_feasible(u.shape[1], u.shape[2],
                                             warp_halo, kernelwidth):
             return onepass(u, iref, imov)
+        u_prev = u
         if use_fused and fused_feasible(u.shape[1], u.shape[2], warp_halo):
-            return fused(u, iref, imov)
+            u = fused(u, iref, imov)
+            return (u, logger_sums(u, u_prev)) if with_errors else u
         iwar = warp2d(imov, u, warp_halo, use_pallas)
         d = derivatives(iref, iwar)
         c = demons_force(d, sigma_i, sigma_x)
@@ -108,7 +124,7 @@ def make_demons_step(
         else:
             u = u + c
         u = gaussian_smooth(u, sigma_diffusion, kernelwidth, flatwrap=conv_flatwrap)
-        return u
+        return (u, logger_sums(u, u_prev)) if with_errors else u
 
     return step
 
@@ -121,6 +137,7 @@ def _make_onepass_step(
     kernelwidth: int,
     accumulation: MotionAccumulation,
     halo: int,
+    with_errors: bool = False,
 ):
     """The single-kernel Thirion iteration with an exact-gather jnp
     fallback. One runtime check only (the motion's displacement bound for
@@ -138,14 +155,15 @@ def _make_onepass_step(
         d = derivatives(iref, iwar)
         c = demons_force(d, sigma_i, sigma_x)
         c = gaussian_smooth(c, sigma_fluid, kernelwidth)
-        u = u + c if addition else compose(u, c, 0)
-        return gaussian_smooth(u, sigma_diffusion, kernelwidth)
+        u_new = u + c if addition else compose(u, c, 0)
+        u_new = gaussian_smooth(u_new, sigma_diffusion, kernelwidth)
+        return (u_new, logger_sums(u_new, u)) if with_errors else u_new
 
     def fused_full(args):
         u, iref, imov = args
         return thirion_onepass_pallas(
             imov, iref, u, sigma_i, sigma_x, sigma_fluid, sigma_diffusion,
-            kernelwidth, halo, addition,
+            kernelwidth, halo, addition, with_errors=with_errors,
         )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
