@@ -577,3 +577,53 @@ def test_onepass_infeasible_falls_back_to_two_kernel(rng):
             dop._TIERS_H2 = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_thirion_onepass_with_errors_sums(rng):
+    """with_errors: the kernel's Logger partial sums equal the full-array
+    sums of |u_new - u| and |u| magnitudes (block partials of exact adds;
+    allclose across the different summation orders), and the motion output
+    is identical to the with_errors=False call."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        thirion_onepass_pallas)
+    from opticalflow2d_tpu.solvers.demons import logger_sums
+
+    nx, ny = 64, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(
+        rng.standard_normal((2, nx, ny)).astype(np.float32)) * 1.8)
+
+    with pltpu.force_tpu_interpret_mode():
+        plain = thirion_onepass_pallas(iaux, iref, u, 1.0, 0.25, 2.0, 2.0,
+                                       5, halo=2, tb=16)
+        got, sums = thirion_onepass_pallas(iaux, iref, u, 1.0, 0.25, 2.0,
+                                           2.0, 5, halo=2, tb=16,
+                                           with_errors=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+    want = logger_sums(got, u)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(want),
+                               rtol=1e-6)
+
+
+def test_thirion_onepass_with_errors_ragged(rng):
+    """Alignment-pad rows (nx not a multiple of the 8-row pad) hold NaN
+    from the renormalized smooth; the Logger partials must mask them."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        thirion_onepass_pallas)
+    from opticalflow2d_tpu.solvers.demons import logger_sums
+
+    nx, ny = 60, 48
+    iaux = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    iref = jnp.asarray(rng.random((nx, ny)).astype(np.float32))
+    u = jnp.asarray(np.tanh(
+        rng.standard_normal((2, nx, ny)).astype(np.float32)))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, sums = thirion_onepass_pallas(iaux, iref, u, 1.0, 0.25, 2.0,
+                                           2.0, 5, halo=2,
+                                           with_errors=True)
+    assert np.isfinite(np.asarray(sums)).all()
+    want = logger_sums(got, u)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(want),
+                               rtol=1e-6)
