@@ -30,7 +30,6 @@ def main():
 
     from opticalflow2d_tpu.config import Method, RegConfig
     from opticalflow2d_tpu.engine.registration import _register_impl
-    from opticalflow2d_tpu.ops.warp import warp2d
 
     out = open("benchmarks/r6_results.jsonl", "a")
 
@@ -50,11 +49,15 @@ def main():
                 mm = m
                 for _ in range(k):
                     res = _register_impl(r, mm, cfg)
-                    acc = acc + jnp.sum(res.motion)
-                    # Feed the warped output forward: a real dependency
-                    # between registrations, so XLA cannot collapse them.
-                    mm = warp2d(mm, res.motion, cfg.warp_halo_outer,
-                                cfg.use_pallas)
+                    s = jnp.sum(res.motion)
+                    acc = acc + s
+                    # Dependency without changing values: mm + 0*s is not
+                    # provably mm to XLA (0*NaN rules), so registrations
+                    # serialize, but every repetition does IDENTICAL work
+                    # (same inputs -> same iteration counts and regrids;
+                    # warping mm forward would change the problem and,
+                    # for fluid, the regrid count per repetition).
+                    mm = mm + 0.0 * s
                 return acc
             return run
 

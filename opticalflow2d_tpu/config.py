@@ -162,14 +162,16 @@ class RegConfig:
     warp_halo_outer: int = 4
     # Driver-level halo automation: run the coarse pyramid levels first,
     # read back ONE scalar (max |u| of the upsampled coarse motion), pick
-    # warp_halo = ceil(max|u| + 0.3) clamped to [1, 4] for the
+    # warp_halo_outer = ceil(max|u| + 0.5) clamped to <= 8 for the
     # full-resolution level, and run it warm-started from the coarse field
     # (the same level-boundary split as checkpoint resume; matches the
-    # monolithic run to ~1 ulp). Protects against the silent exact-gather
-    # cliff when the default halo underestimates the motion (6.5 s vs
-    # 1.3 s @4096^2 demons, RESULTS.md r4); an underestimate mid-level is
-    # still counted in LevelTrace.fallbacks. Ignored for nscales == 0 or
-    # partial-pyramid (start/stop_scale) runs.
+    # monolithic run to ~1 ulp). The OUTER halo is the knob that matters:
+    # driver-level warps/composes see the total motion and silently take
+    # the exact gather when it overshoots (892.7 vs 320.7 ms @4096^2
+    # demons — r6 halo_ab rows; the r4 cliff was 6.5 s vs 1.3 s). The
+    # per-iteration solver halo only sees level increments, stays as
+    # configured, and is fallback-counted in LevelTrace. Ignored for
+    # nscales == 0 or partial-pyramid (start/stop_scale) runs.
     warp_halo_auto: bool = False
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)

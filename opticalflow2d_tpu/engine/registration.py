@@ -404,6 +404,14 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
     traces = []
     for _refine in range(cfg.nrefine):
+        # Outer-warp fallback visibility: the refinement warp sees the
+        # TOTAL motion — when it exceeds warp_halo_outer the exact gather
+        # silently costs ~3x the whole level at 4096^2 (r6 halo_ab rows).
+        nfb0 = jnp.int32(0)
+        if cfg.warp_halo_outer > 0:
+            pxo, pyo = _sample_coords(u)
+            nfb0 = (~_displacement_bounded(
+                imov[None], pxo, pyo, cfg.warp_halo_outer)).astype(jnp.int32)
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
 
         def cond(carry):
@@ -432,7 +440,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
         u0 = jnp.zeros_like(u)
         errs0 = jnp.zeros((niter,), u.dtype)
-        carry = (u0, jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0))
+        carry = (u0, jnp.int32(0), jnp.bool_(False), errs0, nfb0)
         u_est, it, _, errs, nfb = lax.while_loop(cond, body, carry)
         u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0),
@@ -598,18 +606,24 @@ def register(
             and stop_scale == 0 and initial_motion is None
             and initial_coarse_motion is None):
         # Two-phase auto halo (config.warp_halo_auto): coarse levels with
-        # the configured halo (small grids — a fallback there is cheap),
+        # the configured halos (small grids — a fallback there is cheap),
         # one scalar readback of the upsampled coarse motion's max
-        # component, then the full-resolution level with the fitted halo.
+        # component, then the full-resolution level with a fitted OUTER
+        # halo. The outer halo is the knob that matters: the driver-level
+        # warps/composes see the TOTAL motion, and when it overshoots the
+        # outer halo they silently take the exact gather (892.7 vs
+        # 320.7 ms @4096^2 demons, r6_results.jsonl halo_ab rows). The
+        # per-iteration solver halo sees only level increments (the level
+        # loop estimates relative to the refinement warp), stays at its
+        # configured value, and is fallback-counted.
         import dataclasses as _dc
         import math as _math
 
         base = _dc.replace(cfg, warp_halo_auto=False)
         coarse = register(iref, imov, base, stop_scale=1)
         maxu = float(jnp.max(jnp.abs(coarse.motion)))
-        h = max(1, min(4, _math.ceil(maxu + 0.3)))
-        fitted = _dc.replace(base, warp_halo=h,
-                             warp_halo_outer=max(h, cfg.warp_halo_outer))
+        h_out = max(cfg.warp_halo_outer, min(8, _math.ceil(maxu + 0.5)))
+        fitted = _dc.replace(base, warp_halo_outer=h_out)
         fine = register(iref, imov, fitted, initial_motion=coarse.motion,
                         start_scale=0)
         return RegistrationResult(
