@@ -82,15 +82,19 @@ def main():
             emit({"bench": "e2e_slope_1024", "config": name,
                   "error": type(e).__name__, "msg": str(e)[:160]})
 
-    bench("thirion_fused_h2", RegConfig(
+    # outer halo 5 fits this pair's 4 px total motion (overshoot past
+    # -4.0 floors to -5): outer=4 silently takes the exact gather in the
+    # refinement warps and fluid's regrid branch — fluid measured
+    # 101.4 ms/reg device at outer=4 vs the no-cliff number below.
+    bench("thirion_fused_h2_o5", RegConfig(
         method=Method.THIRIONS_DEMONS, niter=(25, 25), nscales=1,
-        warp_halo=2, warp_halo_outer=4, use_pallas=True))
-    bench("fluid_fused", RegConfig(
+        warp_halo=2, warp_halo_outer=5, use_pallas=True))
+    bench("fluid_fused_o5", RegConfig(
         method=Method.FLUID, mu=0.25, lam=0.0, niter=(25, 25), nscales=1,
-        warp_halo=2, warp_halo_outer=4, use_pallas=True))
-    bench("diffusion_blocked", RegConfig(
+        warp_halo=2, warp_halo_outer=5, use_pallas=True))
+    bench("diffusion_blocked_o5", RegConfig(
         method=Method.DIFFUSION, alpha=0.5, niter=(25, 25), nscales=1,
-        warp_halo=2, warp_halo_outer=4, use_pallas=True))
+        warp_halo=2, warp_halo_outer=5, use_pallas=True))
     out.close()
 
 

@@ -52,9 +52,9 @@ from opticalflow2d_tpu.pallas_kernels.elastic_block import sor_candidate_tile
 _PAD = 8  # cone reach is 2 rows (red + black half-sweeps), 8-aligned
 
 
-def _fluid_body(u, vel, g, gi0, vel_ref, r_ref, max_ref, *, mu: float,
+def _fluid_body(u, vel, g, gi0, nx, vel_ref, r_ref, max_ref, *, mu: float,
                 lam: float, omega: float, reference_stencil: bool,
-                maxabs_bug: bool, tb: int, pad: int, nx):
+                maxabs_bug: bool, tb: int, pad: int):
     """One fluid iteration's fusable part on one extended tile.
     ``u, vel [2, e, ny]``, ``g [3, e, ny]`` (gx, gy, It); ``gi0`` the
     global row of tile row 0 (traced ok), ``nx`` the global x extent
@@ -113,13 +113,32 @@ def _fluid_body(u, vel, g, gi0, vel_ref, r_ref, max_ref, *, mu: float,
 
 
 def _dense_kernel(u_c, u_up, u_dn, v_c, v_up, v_dn, g_c, g_up, g_dn,
-                  vel_ref, r_ref, max_ref, **kw):
+                  vel_ref, r_ref, max_ref, *, nx, **kw):
     i = pl.program_id(0)
     u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
     vel = jnp.concatenate([v_up[:, :, :], v_c[:, :, :], v_dn[:, :, :]], axis=1)
     g = jnp.concatenate([g_up[:, :, :], g_c[:, :, :], g_dn[:, :, :]], axis=1)
-    _fluid_body(u, vel, g, i * kw["tb"] - kw["pad"], vel_ref, r_ref,
+    _fluid_body(u, vel, g, i * kw["tb"] - kw["pad"], nx, vel_ref, r_ref,
                 max_ref, **kw)
+
+
+def _strip_kernel(scal_ref, u_hbm, vel_hbm, g_hbm, vel_ref, r_ref, max_ref,
+                  u_sc, vel_sc, g_sc, sem_u, sem_v, sem_g, **kw):
+    """Strip-local entry: inputs pre-padded with ``_PAD`` exchanged halo
+    rows; manual DMA of the extended tile; ``scal_ref`` prefetches
+    (strip global row origin, global x extent)."""
+    i = pl.program_id(0)
+    tb, pad = kw["tb"], kw["pad"]
+    e = tb + 2 * pad
+    d0 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * tb, e), :], u_sc, sem_u)
+    d1 = pltpu.make_async_copy(vel_hbm.at[:, pl.ds(i * tb, e), :], vel_sc,
+                               sem_v)
+    d2 = pltpu.make_async_copy(g_hbm.at[:, pl.ds(i * tb, e), :], g_sc, sem_g)
+    d0.start(); d1.start(); d2.start()
+    d0.wait(); d1.wait(); d2.wait()
+    _fluid_body(u_sc[:, :, :], vel_sc[:, :, :], g_sc[:, :, :],
+                scal_ref[0] + i * tb - pad, scal_ref[1],
+                vel_ref, r_ref, max_ref, **kw)
 
 
 # Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
@@ -217,4 +236,65 @@ def fluid_iter_pallas(u, vel, g, mu: float, lam: float, omega: float,
             jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
         ],
     )(u, u, u, vel, vel, vel, g, g, g)
+    return vel_new, r, jnp.max(maxp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mu", "lam", "omega", "reference_stencil", "maxabs_bug", "tb"))
+def fluid_iter_strip(u_pad, vel_pad, g_pad, row0, nx_glob, mu: float,
+                     lam: float, omega: float,
+                     reference_stencil: bool = True,
+                     maxabs_bug: bool = False, tb: int | None = None):
+    """Strip-local fused fluid iteration for shard_map drivers: inputs
+    pre-padded with ``_PAD`` exchanged halo rows per side (``u_pad,
+    vel_pad [2, nxl+2*_PAD, ny]``, ``g_pad [3, ...]``); ``row0`` the
+    strip's global first row, ``nx_glob`` the global x extent (traced
+    scalars). Returns ``(vel_new, r, maxsq_local)`` for this strip; the
+    caller pmax-reduces maxsq across strips for the global timestep."""
+    pad = _PAD
+    _, nxp, ny = u_pad.shape
+    nxl = nxp - 2 * pad
+    tb, vmem_limit = _pick_tb(nxl, ny, tb)
+    nblocks = nxl // tb
+    e = tb + 2 * pad
+
+    scal = jnp.stack([jnp.asarray(row0, jnp.int32),
+                      jnp.asarray(nx_glob, jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+            pl.BlockSpec((2, tb, ny), lambda i, _s: (0, i, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i, _s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, ny), u_pad.dtype),
+            pltpu.VMEM((2, e, ny), vel_pad.dtype),
+            pltpu.VMEM((3, e, ny), g_pad.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _strip_kernel, mu=mu, lam=lam, omega=omega,
+        reference_stencil=reference_stencil, maxabs_bug=maxabs_bug,
+        tb=tb, pad=pad,
+    )
+    vel_new, r, maxp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((2, nxl, ny), u_pad.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u_pad.dtype),
+        ],
+    )(scal, u_pad, vel_pad, g_pad)
     return vel_new, r, jnp.max(maxp)

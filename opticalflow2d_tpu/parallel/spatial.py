@@ -565,20 +565,35 @@ def _curvature_step_strip(u_est, grad_i, it_img, p: dict, nx_g: int,
 
 
 def _fluid_level_strip(u, iref_l, imov_l, niter: int, halo: int, p: dict,
-                       convergence_tol: float, axis_name: str):
+                       convergence_tol: float, axis_name: str,
+                       use_pallas: bool = False):
     """A full viscous-fluid LEVEL solve on local strips: per-iteration
     red-black SOR velocity solve, material-derivative increment, adaptive
     timestep via pmax, Jacobian-triggered regridding via pmin, Logger
     convergence gate via psum norms, final composition. THE single
     definition of the sharded fluid loop (level driver AND SP pyramid).
     Matches ``engine.registration._solve_level_fluid``
-    (ImageRegistrationFluid.cpp:67-142). Returns (u, iterations, regrids)."""
+    (ImageRegistrationFluid.cpp:67-142). Returns (u, iterations, regrids).
+
+    ``use_pallas``: run the force + SOR sweep + material derivative +
+    max|R|^2 chain as ONE strip-local Pallas pass per iteration
+    (``pallas_kernels.fluid_fused.fluid_iter_strip``, fed with ppermute
+    halo pre-pads) where the shape admits it."""
     mu, lam = p["mu"], p["lam"]
     omega = p.get("omega", 0.66)
     dumax = p.get("dumax", 0.65)
     ts_skip = p.get("timestep_skip", 65.0)
     rg_thr = p.get("regrid_threshold", 0.5)
     ref_stencil = p.get("reference_stencil", True)
+
+    nxl, ny = u.shape[-2], u.shape[-1]
+    use_fused = False
+    if use_pallas:
+        from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
+            _PAD as _FPAD, _tier as _ftier, fluid_iter_strip)
+
+        use_fused = (_ftier(ny) is not None and nxl % _FPAD == 0
+                     and nxl >= _FPAD)
 
     def derive(u_tot):
         ia = _warp_local(imov_l, u_tot, halo, axis_name)
@@ -592,12 +607,25 @@ def _fluid_level_strip(u, iref_l, imov_l, niter: int, halo: int, p: dict,
 
     def fbody(carry):
         u_tot, u_est, prev, vel, grad_i, it_img, it, conv, nregrid = carry
-        inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-        f = grad_i * inner[None]
-        vel = _sor_sweep_strip(vel, f, mu, lam, omega, ref_stencil, axis_name)
-        dudx, dudy = _partials_strip(u_est, axis_name)
-        r = vel - dudx * vel[0:1] - dudy * vel[1:2]
-        m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), axis_name))
+        if use_fused:
+            g = jnp.concatenate([grad_i, it_img[None]], axis=0)
+            row0 = lax.axis_index(axis_name) * nxl
+            nxg = lax.psum(1, axis_name) * nxl
+            vel, r, msq = fluid_iter_strip(
+                _halo_pad(u_est, _FPAD, axis_name),
+                _halo_pad(vel, _FPAD, axis_name),
+                _halo_pad(g, _FPAD, axis_name),
+                row0, nxg, mu, lam, omega, ref_stencil,
+            )
+            m = jnp.sqrt(lax.pmax(msq, axis_name))
+        else:
+            inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+            f = grad_i * inner[None]
+            vel = _sor_sweep_strip(vel, f, mu, lam, omega, ref_stencil,
+                                   axis_name)
+            dudx, dudy = _partials_strip(u_est, axis_name)
+            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+            m = jnp.sqrt(lax.pmax(jnp.max(r[0] ** 2 + r[1] ** 2), axis_name))
         dt = dumax / m
         do_step = dt < ts_skip
         u_new = jnp.where(do_step, u_est + r * jnp.where(do_step, dt, 0.0),
@@ -773,7 +801,8 @@ def _level_local(family: str, u, iref_l, imov_l, level_niter: int, halo: int,
     Families: thirions, diffeo, diffusion, elastic, curvature, fluid."""
     if family == "fluid":
         u, it, _ = _fluid_level_strip(
-            u, iref_l, imov_l, level_niter, halo, p, convergence_tol, "x"
+            u, iref_l, imov_l, level_niter, halo, p, convergence_tol, "x",
+            use_pallas,
         )
         return u, it
 
@@ -1052,10 +1081,14 @@ def make_fluid_level_sharded(
     regrid_threshold: float = 0.5,
     convergence_tol: float = 0.001,
     reference_stencil: bool = True,
+    use_pallas: bool = False,
 ):
     """A full viscous-fluid LEVEL solve as one explicit shard_map program
     (see ``_fluid_level_strip`` for the body; the reference's
     ``ImageRegistrationFluid.cpp:67-142`` with every collective explicit).
+
+    ``use_pallas``: strip-local fused fluid iteration kernel where the
+    shape admits it (see ``_fluid_level_strip``).
 
     Signature: ``(u [2,nx,ny], iref, imov) -> (u, iterations, regrids)``.
     """
@@ -1071,7 +1104,7 @@ def make_fluid_level_sharded(
     )
     def solve(u, iref, imov):
         return _fluid_level_strip(u, iref, imov, niter, halo, p,
-                                  convergence_tol, "x")
+                                  convergence_tol, "x", use_pallas)
 
     return jax.jit(solve)
 

@@ -557,3 +557,28 @@ def test_register_sp_diffeo_deep_pyramid():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fluid_level_sharded_pallas_matches_unfused():
+    """Strip-local fused fluid iteration kernel (interpret mode) vs the
+    per-op strip body: same iteration counts, regrid events, and motion."""
+    from jax.experimental.pallas import tpu as pltpu
+    from opticalflow2d_tpu.parallel.spatial import make_fluid_level_sharded
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.8))
+    u0 = jnp.zeros((2, 64, 48))
+
+    base = make_fluid_level_sharded(mesh, 0.25, 0.0, 0.66, niter=15, halo=5)
+    want_u, want_it, want_rg = base(u0, jnp.asarray(iref), jnp.asarray(imov))
+
+    fused = make_fluid_level_sharded(mesh, 0.25, 0.0, 0.66, niter=15,
+                                     halo=5, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got_u, got_it, got_rg = fused(
+            u0, jnp.asarray(iref), jnp.asarray(imov))
+
+    assert int(got_it) == int(want_it)
+    assert int(got_rg) == int(want_rg)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=1e-4, atol=1e-6)
