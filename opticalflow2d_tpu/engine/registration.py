@@ -216,7 +216,11 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
                         v, d.grad_i, d.it, cfg.alpha
                     ),
                 )
-        if cfg.use_pallas:
+        from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+            single_feasible,
+        )
+
+        if cfg.use_pallas and single_feasible(nx, ny):
             # Fused Pallas kernel (TPU Mosaic; use
             # pltpu.force_tpu_interpret_mode() to trace it on CPU).
             from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (

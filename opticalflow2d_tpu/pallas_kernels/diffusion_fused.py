@@ -93,6 +93,14 @@ def _pick_tb_single(nx: int, ny: int, tb: int = 0) -> int:
     return tb
 
 
+def single_feasible(nx: int, ny: int) -> bool:
+    """True when the single-step kernel is usable at this lane extent.
+    ny > 4096 is out: beyond the measured tiers, AND the axon relay
+    rejects every compiled Mosaic program at 8192 lanes (HTTP 413 /
+    broken pipe — r6_results.jsonl); drivers run the jnp step there."""
+    return ny <= 4096
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "tb"))
 def diffusion_step_pallas(u, grad_i, it_img, alpha: float, tb: int = 0):
     """Drop-in fused replacement for ``diffusion_step`` (same float math,
