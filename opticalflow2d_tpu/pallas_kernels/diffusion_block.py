@@ -159,8 +159,13 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
 # single-step fallback, and (64, 64M) @4096 measures 421.1 vs 1387.2.
 # Keys: lane tier -> (tb cap, vmem_limit | None), split by error sums
 # (they add per-iteration reduction scratch).
-_TIERS_ERR = ((1024, 128, None), (2048, 128, 48 * MB), (4096, 64, 64 * MB))
-_TIERS_NOERR = ((1024, 128, None), (2048, 64, 32 * MB), (4096, 64, 64 * MB))
+# ny=8192 (r6j, arrays as args — closure constants were what made 8192
+# look impossible): k=8 errors-off measured 1161.2 us/iter at tb=32 vs
+# 1188.3 at 64; errors-on unmeasured at 8192, same cap with margin.
+_TIERS_ERR = ((1024, 128, None), (2048, 128, 48 * MB), (4096, 64, 64 * MB),
+              (8192, 32, 64 * MB))
+_TIERS_NOERR = ((1024, 128, None), (2048, 64, 32 * MB), (4096, 64, 64 * MB),
+                (8192, 32, 64 * MB))
 
 
 def _tier(ny: int, with_errors: bool):

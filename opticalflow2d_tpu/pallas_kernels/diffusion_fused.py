@@ -82,7 +82,8 @@ def _pick_tb_single(nx: int, ny: int, tb: int = 0) -> int:
     ``nx % tb == 0`` and ``tb % 8 == 0`` or the same descending divisor
     search runs from it."""
     if tb <= 0:
-        tb = 256 if ny <= 1024 else (64 if ny <= 2048 else 32)
+        tb = (256 if ny <= 1024 else
+              (64 if ny <= 2048 else (32 if ny <= 4096 else 16)))
     if nx % tb != 0 or tb % 8 != 0:
         start = min(tb if tb % 8 == 0 else 256, nx)
         tb = 8
@@ -94,11 +95,11 @@ def _pick_tb_single(nx: int, ny: int, tb: int = 0) -> int:
 
 
 def single_feasible(nx: int, ny: int) -> bool:
-    """True when the single-step kernel is usable at this lane extent.
-    ny > 4096 is out: beyond the measured tiers, AND the axon relay
-    rejects every compiled Mosaic program at 8192 lanes (HTTP 413 /
-    broken pipe — r6_results.jsonl); drivers run the jnp step there."""
-    return ny <= 4096
+    """True when the single-step kernel has a measured-stable tile at
+    this lane extent (tb=16 @8192: 6646.4 us/iter measured; tb=32 crashes
+    the remote Mosaic compile — r6_results.jsonl). Drivers run the jnp
+    step beyond."""
+    return ny <= 8192
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "tb"))

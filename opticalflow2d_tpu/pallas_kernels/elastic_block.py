@@ -164,7 +164,10 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
 # pallas_kernels.__init__): tb=128 @1024 (72.7 us/iter vs 86.0 at the old
 # 16M-feasible tb=64), tb=64 @2048 (318.5 vs 381.9 at tb=32), tb=64
 # @4096 at 48M (1495.2 vs 2825.6 at the default-limit tb=8 — 1.9x).
-_TIERS = ((1024, 128, 48 * MB), (2048, 64, 32 * MB), (4096, 64, 48 * MB))
+# ny=8192 (r6j): k=4 measured 6768.0 us/iter at tb=32; tb=64 crashes the
+# remote Mosaic compile (HTTP 500), so the cap stays at 32.
+_TIERS = ((1024, 128, 48 * MB), (2048, 64, 32 * MB), (4096, 64, 48 * MB),
+          (8192, 32, 64 * MB))
 
 
 def _tier(ny: int):

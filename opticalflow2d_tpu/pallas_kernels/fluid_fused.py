@@ -142,14 +142,14 @@ def _strip_kernel(scal_ref, u_hbm, vel_hbm, g_hbm, vel_ref, r_ref, max_ref,
 
 
 # Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
-# benchmarks/r6_results.jsonl `fluid fused step` rows — the full step
+# benchmarks/r6_results.jsonl `fluid fused` rows — the full step
 # incl. the dt/Euler tail, vs the jnp chain):
 #   1024: 96.8 us @tb=256 (jnp 109.8, 1.13x — XLA still fuses well here)
 #   2048: 413.8 us @tb=64 (jnp 1889.3, 4.6x — XLA spills past L2)
 #   4096: 2374.0 us @tb=64 (jnp 11937.5, 5.0x)
-# No ny=8192 tier yet (the axon relay rejects large Mosaic programs at
-# 8192 lanes for the demons kernels; fluid unprobed — r6e).
-_TIERS = ((1024, 256, 48 * MB), (2048, 64, 48 * MB), (4096, 64, 64 * MB))
+#   8192: 9753.0 us @tb=32 (11270.8 at 16, 14405.5 at 8)
+_TIERS = ((1024, 256, 48 * MB), (2048, 64, 48 * MB), (4096, 64, 64 * MB),
+          (8192, 32, 64 * MB))
 
 
 def _tier(ny: int):
