@@ -6,10 +6,12 @@ after ~25 min of retries; probed and recorded for the one-pass demons,
 two-kernel fused demons, AND blocked diffusion kernels
 (r6_results.jsonl). An environment limit of the tunnel, not of the
 kernels (the same programs compile at 4096 lanes, and compiled-code size
-scales with the lane extent). This script therefore records what the
-driver actually executes at 8192 — its automatic XLA fallbacks:
-  (b) the plain XLA step paths,
-  (c) e2e registration rows for diffusion / elastic / demons.
+scales with the lane extent). UPDATE (r6i-r6l): the "relay limit" was benchmark closures embedding
+256 MB device arrays as compile-request constants; with arrays as
+arguments every kernel compiles at 8192, tier tables now cover it, and
+the warp-gather 8192 tier fixed the remote-compiler crash (the outer
+warps' XLA roll chain was what blew the helper). This script records the
+3-level 8192^2 e2e rows for diffusion / elastic / demons.
 
 Run (real TPU, single process, background):
   python benchmarks/r6e_8192.py
@@ -51,17 +53,6 @@ def main():
         out.write(json.dumps(row) + "\n")
         out.flush()
 
-    # (b) plain XLA step paths at 8192.
-    from opticalflow2d_tpu.solvers.diffusion import diffusion_step
-
-    try:
-        s = kernel_timer(lambda v: diffusion_step(v, d, 0.5), u,
-                         iters_lo=5, iters_hi=20)
-        emit({"kernel": "diffusion jnp", "n": N,
-              "us_per_iter": round(s * 1e6, 1)})
-    except Exception as e:
-        emit({"kernel": "diffusion jnp", "n": N,
-              "error": type(e).__name__, "msg": str(e)[:160]})
 
     # (c) e2e rows (pyramid, convergence loops). use_pallas=True so the
     # run records exactly what the production driver does at this size:

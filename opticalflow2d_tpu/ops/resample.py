@@ -28,8 +28,27 @@ def pyramid_dims(dim0: Tuple[int, int], nscales: int):
     return [(int(nx / (2.0 ** s)), int(ny / (2.0 ** s))) for s in range(nscales + 1)]
 
 
+def _box_matrix(n_out: int, f: int, dtype) -> jnp.ndarray:
+    """``[n_out, n_out*f]`` box-mean matrix: row i holds ``1/f`` over
+    columns ``[i*f, (i+1)*f)``. Built from iota comparisons (no embedded
+    constant) — for power-of-two ``f`` the products are exact, so the
+    matmul mean rounds once per output, like any summed mean."""
+    i = jnp.arange(n_out, dtype=jnp.int32)[:, None]
+    k = jnp.arange(n_out * f, dtype=jnp.int32)[None, :]
+    return jnp.where((k >= i * f) & (k < (i + 1) * f), 1.0 / f, 0.0).astype(
+        dtype)
+
+
 def downsample_image(image: jnp.ndarray, dimout: Tuple[int, int]) -> jnp.ndarray:
-    """Box-filter downsample ``[..., nx, ny] -> [..., nx_out, ny_out]``."""
+    """Box-filter downsample ``[..., nx, ny] -> [..., nx_out, ny_out]``.
+
+    Two equivalent evaluations: the 4D reshape + mean (exact historical
+    float behavior, used at parity-relevant sizes), and MXU box-mean
+    matmuls for extents past 4096 — the reshape+mean form crashes the
+    remote Mosaic compile helper at 8192 lanes (r6 probes), the strided-
+    slice form costs 1.7 s of lane shuffles, while two one-hot-pair
+    matmuls run in milliseconds. Values differ from reshape+mean only in
+    summation order (~1 ulp), at sizes no parity test reaches."""
     nx_in, ny_in = image.shape[-2], image.shape[-1]
     nx_out, ny_out = dimout
     if nx_out > nx_in or ny_out > ny_in:
@@ -37,6 +56,12 @@ def downsample_image(image: jnp.ndarray, dimout: Tuple[int, int]) -> jnp.ndarray
     fx = nx_in // nx_out
     fy = ny_in // ny_out
     cropped = image[..., : nx_out * fx, : ny_out * fy]
+    if nx_in > 4096 or ny_in > 4096:
+        hp = jax.lax.Precision.HIGHEST
+        sx = _box_matrix(nx_out, fx, image.dtype)
+        syt = _box_matrix(ny_out, fy, image.dtype).T
+        tmp = jnp.einsum("ik,...kl->...il", sx, cropped, precision=hp)
+        return jnp.einsum("...il,lj->...ij", tmp, syt, precision=hp)
     shaped = cropped.reshape(*cropped.shape[:-2], nx_out, fx, ny_out, fy)
     return shaped.mean(axis=(-3, -1))
 

@@ -37,8 +37,15 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 # triples the live temporaries: tb=32 is both the stable and the fastest
 # tile @1024 (150.9 vs 185.9 at 64); wider extents need the raised limit
 # (the @4096 halo-4 gather failed at 21.3M under the default budget).
-_TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB))
-_TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB))
+# ny=8192 (r6l, arrays as args): halo 2 10152.4 us at tb=16 (11115.2 at
+# 8); halo 5 22200.2 at tb=16 (24841.7 at 8). Without this tier the
+# driver's outer warps lower to the XLA roll chain at 8192, whose
+# compilation crashes the remote Mosaic helper (HTTP 500) — the gather
+# tier is what makes 8192^2 end-to-end runs possible at all here.
+_TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB),
+             (8192, 16, 64 * MB))
+_TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB),
+               (8192, 16, 64 * MB))
 
 
 def _tier(ny: int, halo: int):
