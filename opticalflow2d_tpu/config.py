@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
@@ -73,6 +74,19 @@ class CompatFlags:
     # every register() starts from zero, which is the self-consistent
     # behavior.
     persistent_motion: bool = False
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_is_default_backend() -> bool:
+    """True when jax will execute on a TPU by default. Cached: the first
+    call initializes the backend (one-time; cheap on CPU, opens the tunnel
+    under the remote-TPU plugin). Used only to resolve ``use_pallas=None``."""
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,13 +184,26 @@ class RegConfig:
     # the exact gather when it overshoots (892.7 vs 320.7 ms @4096^2
     # demons — r6 halo_ab rows; the r4 cliff was 6.5 s vs 1.3 s). The
     # per-iteration solver halo only sees level increments, stays as
-    # configured, and is fallback-counted in LevelTrace. Ignored for
-    # nscales == 0 or partial-pyramid (start/stop_scale) runs.
-    warp_halo_auto: bool = False
+    # configured, and is fallback-counted in LevelTrace. Only acts on
+    # whole-pyramid host-level register() calls (nscales >= 1, no
+    # start/stop_scale, no warm start); ignored under jit/vmap drivers.
+    # None = auto: ON for nscales >= 1 — the out-of-the-box register()
+    # runs the measured production path (the round-3 defaults left it off
+    # and out-of-the-box users got the silent 892.7-vs-320.7 ms @4096^2
+    # outer-gather cliff). Bit-parity configs pin False (the two-phase
+    # level split changes float associativity by ~1 ulp).
+    warp_halo_auto: bool | None = None
     dtype: str = "float32"
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
     # Use Pallas fused kernels for hot loops where available.
-    use_pallas: bool = False
+    # None = auto: ON when the default JAX backend is a TPU and dtype is
+    # float32 (the kernels' tier tables are measured for f32 on v5e; every
+    # call site still shape-gates via the *_feasible tables with exact
+    # jnp fallbacks, so auto-ON is safe for any input). Resolves to False
+    # on CPU/GPU where Mosaic kernels cannot run outside interpret mode.
+    # The headline bench and the e2e tables (RESULTS.md) ARE this
+    # configuration — out-of-the-box register() now runs them.
+    use_pallas: bool | None = None
     # Temporal block depth for the fused diffusion solver: with
     # use_pallas=True, run this many Jacobi iterations per HBM pass
     # (pallas_kernels/diffusion_block.py) instead of one. 1 disables
@@ -213,6 +240,16 @@ class RegConfig:
     verbose_stream: bool = False
 
     def __post_init__(self):
+        # Resolve the None=auto TPU knobs to concrete booleans here so every
+        # downstream consumer (engine, parallel drivers, ops) sees plain
+        # bools and lru_cache/jit-static hashing stays trivial.
+        if self.use_pallas is None:
+            object.__setattr__(
+                self, "use_pallas",
+                self.dtype == "float32" and _tpu_is_default_backend(),
+            )
+        if self.warp_halo_auto is None:
+            object.__setattr__(self, "warp_halo_auto", self.nscales >= 1)
         if len(self.niter) < self.nscales + 1:
             raise ValueError(
                 f"niter needs at least nscales+1={self.nscales + 1} entries, "

@@ -46,11 +46,61 @@ def _mm(a, b, precision=lax.Precision.HIGHEST):
     return jnp.matmul(a, b, precision=precision)
 
 
+# Transform matrices with extent >= this are generated ON DEVICE inside the
+# traced program (exact integer phase + one f32 cos) instead of being
+# embedded as host constants. An n x n f32 constant is n^2*4 bytes — 256 MB
+# at 8192 — and jit embeds closure constants in the compile request, which
+# blows the remote-compile relay's body limit (the documented HTTP-413 trap,
+# CLAUDE.md). Device generation costs one fused iota+cos kernel per level
+# (hoisted out of the iteration while_loop as a loop invariant) and differs
+# from the float64 host tables by <= 2 ulp per entry.
+_DEVICE_GEN_MIN = 2048
+# The integer phase numerator (2j+1)(2k+1) must stay inside int32.
+_DEVICE_GEN_MAX = 16384
+
+
+def _dct_matrix_dev(n: int, kind: int, dtype) -> jnp.ndarray:
+    """DCT-II/III/IV matrix built on device: the cos argument is reduced
+    exactly in int32 (numerator mod the cosine's integer period) before the
+    single f32 multiply+cos, so there is no large-argument phase error.
+    kinds: 2 -> REDFT10 rows ``2 cos(pi (j+1/2) k / n)``; 3 -> REDFT01
+    (column 0 fixed to 1); 4 -> DCT-IV ``2 cos(pi (j+1/2)(k+1/2) / n)``."""
+    if n > _DEVICE_GEN_MAX:  # pragma: no cover - no such grid target
+        raise ValueError(f"device DCT matrix gen needs n <= {_DEVICE_GEN_MAX}")
+    k = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    if kind == 2:
+        num, period = (2 * j + 1) * k, 4 * n
+    elif kind == 3:
+        num, period = j * (2 * k + 1), 4 * n
+    else:
+        num, period = (2 * j + 1) * (2 * k + 1), 8 * n
+    phase = (num % period).astype(dtype) * jnp.asarray(
+        2.0 * np.pi / period, dtype
+    )
+    m = 2.0 * jnp.cos(phase)
+    if kind == 3:
+        m = jnp.where(j == 0, jnp.asarray(1.0, dtype), m)
+    return m.astype(dtype)
+
+
+_HOST_TABLES = {2: _dct2_matrix, 3: _dct3_matrix}
+
+
+def _dct_matrix(n: int, kind: int, dtype) -> jnp.ndarray:
+    """Transform matrix as a traced array: float64 host table below the
+    device-generation threshold (bit-stable parity path), device-generated
+    at large extents (no giant compile-request constants)."""
+    if n >= _DEVICE_GEN_MIN:
+        return _dct_matrix_dev(n, kind, dtype)
+    return jnp.asarray(_HOST_TABLES.get(kind, _dct4_matrix)(n), dtype)
+
+
 def dct2_fftw(a: jnp.ndarray, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """2D DCT-II (FFTW REDFT10 x REDFT10) over the trailing two axes."""
     nx, ny = a.shape[-2], a.shape[-1]
-    cx = jnp.asarray(_dct2_matrix(nx), a.dtype)
-    cy = jnp.asarray(_dct2_matrix(ny), a.dtype)
+    cx = _dct_matrix(nx, 2, a.dtype)
+    cy = _dct_matrix(ny, 2, a.dtype)
     return _mm(_mm(cx, a, precision), cy.T, precision)
 
 
@@ -58,8 +108,8 @@ def idct2_fftw(a: jnp.ndarray, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """2D DCT-III (FFTW REDFT01 x REDFT01) over the trailing two axes.
     ``idct2_fftw(dct2_fftw(x)) == 4 * nx * ny * x``."""
     nx, ny = a.shape[-2], a.shape[-1]
-    cx = jnp.asarray(_dct3_matrix(nx), a.dtype)
-    cy = jnp.asarray(_dct3_matrix(ny), a.dtype)
+    cx = _dct_matrix(nx, 3, a.dtype)
+    cy = _dct_matrix(ny, 3, a.dtype)
     return _mm(_mm(cx, a, precision), cy.T, precision)
 
 
@@ -139,8 +189,8 @@ def split_permutation(n: int, depth: int) -> np.ndarray:
 
 
 def _mm_last(a, m, precision):
-    """Apply matrix ``m`` along the trailing axis: ``out[..., k] =
-    sum_j a[..., j] m[k, j]``."""
+    """Apply matrix ``m`` (already a traced/host array) along the trailing
+    axis: ``out[..., k] = sum_j a[..., j] m[k, j]``."""
     return jnp.matmul(a, jnp.asarray(m, a.dtype).T, precision=precision)
 
 
@@ -158,9 +208,11 @@ def _dct1d_split_last(x, depth: int, precision):
         hi = cur[..., :h - 1:-1]  # cur[..., h:] reversed
         iv_blocks.append(lo - hi)
         cur = lo + hi
-    parts = [_mm_last(cur, _dct2_matrix(cur.shape[-1]), precision)]
+    parts = [_mm_last(cur, _dct_matrix(cur.shape[-1], 2, x.dtype), precision)]
     for blk in reversed(iv_blocks):  # small -> large, matching the perm
-        parts.append(_mm_last(blk, _dct4_matrix(blk.shape[-1]), precision))
+        parts.append(
+            _mm_last(blk, _dct_matrix(blk.shape[-1], 4, x.dtype), precision)
+        )
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -172,10 +224,10 @@ def _idct1d_split_last(y, depth: int, precision):
     def rec(yblk, d):
         n = yblk.shape[-1]
         if d == 0:
-            return _mm_last(yblk, _dct3_matrix(n), precision)
+            return _mm_last(yblk, _dct_matrix(n, 3, yblk.dtype), precision)
         h = n // 2
         s = rec(yblk[..., :h], d - 1)
-        dmat = _mm_last(yblk[..., h:], _dct4_matrix(h), precision)
+        dmat = _mm_last(yblk[..., h:], _dct_matrix(h, 4, yblk.dtype), precision)
         a = s + dmat
         b = (s - dmat)[..., ::-1]
         return jnp.concatenate([a, b], axis=-1)
@@ -216,16 +268,35 @@ def idct2_split(a: jnp.ndarray, depth=None,
 
 
 def curvature_eigenvalues(
-    nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32
+    nx: int, ny: int, alpha: float, tau: float, dtype=jnp.float32,
+    perm_x: np.ndarray | None = None, perm_y: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Inverse eigenvalues of the semi-implicit biharmonic (curvature) update
     in the DCT basis:
     ``1 / (1 + tau * alpha * (-4 + 2 cos(p pi / nx) + 2 cos(q pi / ny))^2)``
     (reference ``OpticalFlowCurvature.cpp:6-30``; note the reference's PI
-    constant is 3.14159265, reproduced here for bit-level parity)."""
+    constant is 3.14159265, reproduced here for bit-level parity).
+
+    ``perm_x``/``perm_y`` reindex the table to a permuted coefficient layout
+    (the split-radix solvers fold ``split_permutation`` in here). The
+    biharmonic symbol is a function of a SEPARABLE sum ``a[p] + b[q]``, so
+    the permutation is applied to the tiny 1D cosine tables, never to the
+    full grid. Past the ``_DEVICE_GEN_MIN`` extent the [nx, ny] table is
+    assembled on device from those 1D host tables (outer sum + elementwise)
+    instead of shipping an nx*ny f32 constant through the compile request
+    (256 MB at 8192^2 — the relay HTTP-413 trap)."""
     PI = 3.14159265
-    p = np.arange(nx, dtype=np.float64)[:, None]
-    q = np.arange(ny, dtype=np.float64)[None, :]
-    lam = -4.0 + 2.0 * np.cos(p * PI / nx) + 2.0 * np.cos(q * PI / ny)
-    eig = 1.0 / (1.0 + tau * alpha * lam**2)
+    cx = 2.0 * np.cos(np.arange(nx, dtype=np.float64) * PI / nx)
+    cy = 2.0 * np.cos(np.arange(ny, dtype=np.float64) * PI / ny)
+    if perm_x is not None:
+        cx = cx[perm_x]
+    if perm_y is not None:
+        cy = cy[perm_y]
+    if max(nx, ny) >= _DEVICE_GEN_MIN:
+        lam = (jnp.asarray(cx - 4.0, dtype)[:, None]
+               + jnp.asarray(cy, dtype)[None, :])
+        return 1.0 / (1.0 + jnp.asarray(tau * alpha, dtype) * lam * lam)
+    # Host path: keep the reference's exact f64 expression order
+    # (-4 + 2cos + 2cos) for bit-stable parity at oracle-testable sizes.
+    eig = 1.0 / (1.0 + tau * alpha * (-4.0 + cx[:, None] + cy[None, :]) ** 2)
     return jnp.asarray(eig, dtype)

@@ -23,7 +23,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from opticalflow2d_tpu.ops.dct import _dct2_matrix, _dct3_matrix
+from opticalflow2d_tpu.ops.dct import _dct_matrix
 from opticalflow2d_tpu.parallel.spatial import _curvature_solve_strip
 from opticalflow2d_tpu.solvers.base import Derivatives, lssd_force
 
@@ -79,8 +79,8 @@ def make_dct2_sharded(mesh: Mesh, nx: int, ny: int, inverse: bool = False,
     n_x = mesh.shape["x"]
     if nx % n_x != 0 or ny % n_x != 0:
         raise ValueError("dims must divide the mesh x-axis size")
-    cx = jnp.asarray((_dct3_matrix if inverse else _dct2_matrix)(nx), dtype)
-    cy = jnp.asarray((_dct3_matrix if inverse else _dct2_matrix)(ny), dtype)
+    cx = _dct_matrix(nx, 3 if inverse else 2, dtype)
+    cy = _dct_matrix(ny, 3 if inverse else 2, dtype)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("x", None),), out_specs=P("x", None),

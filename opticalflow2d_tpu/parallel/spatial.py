@@ -525,16 +525,16 @@ def _curvature_solve_strip(rhs, nx_g: int, ny_g: int, alpha: float,
     single definition of the sharded DCT body (also used by
     ``parallel.dct_dist``). Matches ``solvers.curvature.make_curvature_step``
     (OpticalFlowCurvature.cpp:144-167)."""
-    from opticalflow2d_tpu.ops.dct import (
-        _dct2_matrix, _dct3_matrix, curvature_eigenvalues,
-    )
+    from opticalflow2d_tpu.ops.dct import _dct_matrix, curvature_eigenvalues
 
     n = lax.psum(1, axis_name)
     nyl = ny_g // n
-    c2x = jnp.asarray(_dct2_matrix(nx_g), rhs.dtype)
-    c3x = jnp.asarray(_dct3_matrix(nx_g), rhs.dtype)
-    c2y = jnp.asarray(_dct2_matrix(ny_g), rhs.dtype)
-    c3y = jnp.asarray(_dct3_matrix(ny_g), rhs.dtype)
+    # _dct_matrix switches to on-device generation past 2048 so no
+    # giant transform constants ride the compile request (ops/dct.py).
+    c2x = _dct_matrix(nx_g, 2, rhs.dtype)
+    c3x = _dct_matrix(nx_g, 3, rhs.dtype)
+    c2y = _dct_matrix(ny_g, 2, rhs.dtype)
+    c3y = _dct_matrix(ny_g, 3, rhs.dtype)
     eig = curvature_eigenvalues(nx_g, ny_g, alpha, tau, rhs.dtype)
     scale = 1.0 / (4.0 * nx_g * ny_g)
 
@@ -1156,6 +1156,7 @@ def make_register_sp(
     family: str,
     niter,
     nscales: int = 1,
+    nrefine: int = 1,
     halo: int = 2,
     convergence_tol: float = 0.001,
     use_pallas: bool = False,
@@ -1171,11 +1172,19 @@ def make_register_sp(
     ``2^nscales * mesh_x``; displacement contract within ``halo``). The
     pyramid motion transport reproduces the reference's full-resolution
     round trip, so it matches the registration driver at any depth.
+    ``nrefine`` runs the reference's outer refinement loop per level
+    (ImageRegistrationOpticalFlow.cpp:97-151): each refinement re-warps
+    the level image by the accumulated motion, solves a fresh estimate
+    from zero, and composes it back — ``_level_local`` is exactly one
+    refinement, so the loop is a static unroll around it.
     ``use_pallas=True`` routes the demons-family warp/compose through the
     strip-local fused kernels.
-    Signature: ``(iref, imov) -> (u [2,nx,ny], iterations [nscales+1])``.
+    Signature: ``(iref, imov) -> (u [2,nx,ny],
+    iterations [(nscales+1) * nrefine])`` — iteration counts ordered
+    coarse -> fine, refine-major, matching the serial driver's traces.
     """
     niter = tuple(int(v) for v in niter)
+    nrefine = int(nrefine)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -1207,11 +1216,12 @@ def make_register_sp(
                     u = _downsample2_local(u, "x") * 0.5
             else:  # sc == 0
                 u = u_full
-            u, it = _level_local(
-                family, u, irefs[sc], imovs[sc], niter[sc], halo, params,
-                convergence_tol, use_pallas,
-            )
-            iters.append(it)
+            for _refine in range(nrefine):
+                u, it = _level_local(
+                    family, u, irefs[sc], imovs[sc], niter[sc], halo, params,
+                    convergence_tol, use_pallas,
+                )
+                iters.append(it)
             if sc > 0:
                 for _ in range(sc):
                     u = _upsample2_local(u, "x") * 2.0

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-import numpy as np
-
 from opticalflow2d_tpu.ops.dct import (
     dct2_fftw,
     idct2_fftw,
@@ -63,7 +61,6 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     dense transform when the extent is odd or < 128
     (``effective_split_depth``), so "auto" is safe at every pyramid level.
     """
-    eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
         dct_impl = "split_high"
@@ -71,22 +68,28 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
 
     _PRECS = {"": lax.Precision.HIGHEST, "_high": lax.Precision.HIGH,
               "_fast": lax.Precision.DEFAULT}
-    if dct_impl == "fft":
-        fwd, inv = dct2_fft, idct2_fft
-    elif dct_impl.startswith("split"):
+    if dct_impl.startswith("split"):
         prec = _PRECS[dct_impl[len("split"):]]
         px = split_permutation(nx, effective_split_depth(nx))
         py = split_permutation(ny, effective_split_depth(ny))
-        eig = eig[np.ix_(px, py)]
+        # The permutation folds into the (separable) eigenvalue table's 1D
+        # cosine factors — no runtime reorder, and no permuted-grid gather
+        # when the table is device-assembled at large extents.
+        eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype,
+                                    perm_x=px, perm_y=py)
         fwd = lambda a: dct2_split(a, precision=prec)
         inv = lambda a: idct2_split(a, precision=prec)
-    elif dct_impl in ("matmul_fast", "matmul_high"):
-        prec = (lax.Precision.DEFAULT if dct_impl == "matmul_fast"
-                else lax.Precision.HIGH)
-        fwd = lambda a: dct2_fftw(a, precision=prec)
-        inv = lambda a: idct2_fftw(a, precision=prec)
     else:
-        fwd, inv = dct2_fftw, idct2_fftw
+        eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype)
+        if dct_impl == "fft":
+            fwd, inv = dct2_fft, idct2_fft
+        elif dct_impl in ("matmul_fast", "matmul_high"):
+            prec = (lax.Precision.DEFAULT if dct_impl == "matmul_fast"
+                    else lax.Precision.HIGH)
+            fwd = lambda a: dct2_fftw(a, precision=prec)
+            inv = lambda a: idct2_fftw(a, precision=prec)
+        else:
+            fwd, inv = dct2_fftw, idct2_fftw
 
     def step(u: jnp.ndarray, d: Derivatives) -> jnp.ndarray:
         f = lssd_force(d, u)

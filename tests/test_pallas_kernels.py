@@ -321,20 +321,27 @@ def test_fused_demons_halo_caps():
     # Kernel B's 2-channel gather measured a 72.35M stack at (32, 64M)
     # there — it halves the tile.
     assert _pick_tb(4096, 4096, 2, 4) == (16, 64 * MB)
-    assert fused_feasible(1024, 1024, 4)
-    assert fused_feasible(4096, 4096, 4)
-    assert fused_feasible(4096, 4096, 2)
-    # No measured tier past ny=4096 — op-chain fallback.
-    assert not fused_feasible(8192, 8192, 2)
-    assert not fused_feasible(8192, 8192, 4)
+
+    # Feasibility must track the tier tables (not last month's ceiling):
+    # feasible exactly up to the largest lane tier, infeasible past it.
+    from opticalflow2d_tpu.pallas_kernels import demons_fused, warp_fused
+
+    for halo, tiers in ((2, demons_fused._TIERS_H2),
+                        (4, demons_fused._TIERS_WIDE)):
+        max_ny = max(cap for cap, _, _ in tiers)
+        for cap_ny, _, _ in tiers:
+            assert fused_feasible(cap_ny, cap_ny, halo)
+        assert not fused_feasible(2 * max_ny, 2 * max_ny, halo)
 
     from opticalflow2d_tpu.pallas_kernels.warp_fused import gather_feasible
 
-    assert gather_feasible(4096, 2)
-    assert not gather_feasible(8192, 2)
-    assert gather_feasible(2048, 4)
-    assert gather_feasible(4096, 4)
-    assert not gather_feasible(8192, 4)  # ops.warp falls to the roll path
+    for halo, tiers in ((2, warp_fused._TIERS_H2),
+                        (4, warp_fused._TIERS_WIDE)):
+        max_ny = max(cap for cap, _, _ in tiers)
+        for cap_ny, _, _ in tiers:
+            assert gather_feasible(cap_ny, halo)
+        # Past the largest tier ops.warp falls to the roll path.
+        assert not gather_feasible(2 * max_ny, halo)
 
 
 def test_demons_step_infeasible_shape_falls_back(rng):

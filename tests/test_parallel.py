@@ -423,6 +423,40 @@ def test_register_sp_families_match_register(family, kw, serial_kw):
 
 
 @requires_8
+@pytest.mark.parametrize("family,kw,serial_kw", [
+    ("diffusion", dict(alpha=0.5), dict(method=Method.DIFFUSION, alpha=0.5)),
+    ("thirions", dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+                      sigma_fluid=2.0, kernelwidth=5),
+     dict(method=Method.THIRIONS_DEMONS)),
+])
+def test_register_sp_nrefine_matches_register(family, kw, serial_kw):
+    """SP nrefine=2: the outer refinement loop (warp at refinement start,
+    compose at end — reference ImageRegistrationOpticalFlow.cpp:97-151)
+    must match the serial driver, including the per-(level, refinement)
+    iteration counts (refine-major trace order)."""
+    from opticalflow2d_tpu.parallel.spatial import make_register_sp
+
+    mesh = make_mesh(data=1, x=8)
+    iref, imov = make_pair(64, 48, shift=(1.2, -0.7))
+
+    solve = make_register_sp(mesh, family, niter=[6, 5], nscales=1,
+                             nrefine=2, halo=4, **kw)
+    u, iters = solve(jnp.asarray(iref), jnp.asarray(imov))
+    assert np.asarray(iters).shape == (4,)  # 2 levels x 2 refinements
+
+    cfg = RegConfig(niter=(6, 5), nscales=1, nrefine=2, warp_halo=4,
+                    warp_halo_outer=4, warp_halo_auto=False,
+                    use_pallas=False, **serial_kw)
+    res = register(iref, imov, cfg)
+    assert [int(x) for x in np.asarray(iters)] == [
+        int(t.iterations) for t in res.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(res.motion), rtol=1e-4, atol=1e-5
+    )
+
+
+@requires_8
 def test_register_sp_fluid_matches_register():
     from opticalflow2d_tpu.parallel.spatial import make_register_sp
 

@@ -37,6 +37,9 @@ def _run_both(pair, method, params, niter, nscales, nrefine=1, **cfg_kw):
     # parity config would dominate CI time.
     cfg_kw.setdefault("warp_halo", 0)
     cfg_kw.setdefault("warp_halo_outer", 0)
+    # Bit-parity needs the monolithic single-program pyramid: the auto-halo
+    # two-phase split changes float associativity by ~1 ulp.
+    cfg_kw.setdefault("warp_halo_auto", False)
     cfg = RegConfig.from_regparams(method, niter, nscales, params, nrefine, **cfg_kw)
     res = register(iref, imov, cfg)
     u = np.asarray(res.motion, np.float64)
