@@ -90,6 +90,46 @@ def _select_taps(tile, rx, ry, halo: int, rows: int, ny: int):
     return g00, g10, g01, g11
 
 
+# Gather implementation switch: "hat" = per-offset weight accumulation
+# (fewer rolls: (2h+2)^2 + (2h+2) total vs the select chain's 4(2h+1)^2 +
+# (2h+2), and no 4 live g-tile accumulators); "select" = the r4-r6 tap
+# select chain. Outputs are bit-identical under the displacement contract
+# (weights use the exact same float expressions; taps accumulate in the
+# original g00,g10,g01,g11 order with exact-zero terms in between), so
+# this is a pure scheduling choice. Module-level so benchmarks can A/B it.
+_GATHER_IMPL = "hat"
+
+
+def _hat_weights(r, frac, one_m_frac, has1, halo: int):
+    """Per-integer-offset bilinear weights along one axis: offset ``o``
+    carries ``1-frac`` where ``o == r`` (the floor tap), ``frac`` where
+    ``o == r+1`` (the +1 tap, masked by ``has1``), else exact 0. The float
+    values are the ORIGINAL w00/w10-factor expressions — only their
+    placement over the offset enumeration changes."""
+    ws = []
+    for o in range(-halo, halo + 2):
+        ws.append(jnp.where(
+            r == o, one_m_frac,
+            jnp.where((r == o - 1) & has1, frac, 0.0),
+        ))
+    return ws
+
+
+def _accumulate_hat(data_tile, wx, wy, halo: int, rows: int, ny: int):
+    """``sum_{b,a} wy[b] * wx[a] * roll(tile, a, b)`` with b (y) outer and
+    a (x) inner — the nonzero terms land in the original g00, g10, g01,
+    g11 order, so left-to-right accumulation is bit-identical to the
+    select-chain path's ``g00*w00 + g10*w10 + g01*w01 + g11*w11``."""
+    value = None
+    for b in range(-halo, halo + 2):
+        lane_b = pltpu.roll(data_tile, (ny - b) % ny, 2)
+        for a in range(-halo, halo + 2):
+            m = (wx[a + halo] * wy[b + halo])[None]
+            term = m * pltpu.roll(lane_b, (rows - a) % rows, 1)
+            value = term if value is None else value + term
+    return value
+
+
 def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
                    per_channel: bool = False):
     """Warp/compose core on a full padded tile: global coords, weights,
@@ -97,8 +137,8 @@ def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
     expression-for-expression. ``gi, gj [rows, ny]`` are GLOBAL coords of
     each padded row; ``data_tile [nc, rows, ny]``.
 
-    ``per_channel=True`` runs the tap select chain one channel at a time so
-    only one channel's roll cache is live at once (~half the VMEM peak for
+    ``per_channel=True`` runs the tap chain one channel at a time so only
+    one channel's roll cache is live at once (~half the VMEM peak for
     2-channel composes; same rolls in total, bit-identical output)."""
     nc, rows, ny = data_tile.shape
     px = gi.astype(ux.dtype) + ux
@@ -119,6 +159,19 @@ def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
     w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
     w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
     w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
+    weight = w00 + w10 + w01 + w11
+
+    if _GATHER_IMPL == "hat":
+        wx = _hat_weights(rx, fx, 1.0 - fx, has_x1, halo)
+        wy = _hat_weights(ry, fy, 1.0 - fy, has_y1, halo)
+        if per_channel and nc > 1:
+            value = jnp.concatenate([
+                _accumulate_hat(data_tile[ch:ch + 1], wx, wy, halo, rows, ny)
+                for ch in range(nc)
+            ], axis=0)
+        else:
+            value = _accumulate_hat(data_tile, wx, wy, halo, rows, ny)
+        return value, weight, in_bounds
 
     if per_channel and nc > 1:
         vals = []
@@ -131,7 +184,6 @@ def _bilinear_tile(data_tile, ux, uy, gi, gj, halo: int, nx: int,
     else:
         g00, g10, g01, g11 = _select_taps(data_tile, rx, ry, halo, rows, ny)
         value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
-    weight = w00 + w10 + w01 + w11
     return value, weight, in_bounds
 
 

@@ -238,20 +238,20 @@ def _strip_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
                   row0_ref[0] + i * tb - pad, out_ref, **kw)
 
 
-# Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel,
-# benchmarks/r6_results.jsonl `onepass` rows). The kernel is VPU-bound
-# (the select chains), not HBM-bound: the jnp.pad-based first cut ran
-# 294.0 us @1024/tb=128, the clamped-BlockSpec rework 286.8, and the
-# halo_c compose-chain cut 216.8 — vs 314.6 for the two-kernel fused
-# chain (1.45x). tb sweep: 216.8 @1024/tb=128 (257.2 at 256);
-# 937.6 @2048/tb=64 (1017.2 at 128) vs two-kernel 1312.3 (1.40x);
-# 4567.2 @4096/tb=64 (4608.1 at 32) vs two-kernel 6984.5 (1.53x);
-# 21189.4 @8192/tb=32 (23041.7 at 16) vs two-kernel 40060.9 (1.89x).
+# Measured (tile cap, vmem limit) tiers (TPU through the axon tunnel;
+# round-4 hat-gather rows in benchmarks/r7_results.jsonl `onepass_race`,
+# prior history r6_results.jsonl `onepass`). The kernel is VPU-bound (the
+# gather chains), not HBM-bound; the round-4 hat-accumulation gather
+# (demons_fused._bilinear_tile) cut the roll count ~2.5x: 141.1 us
+# @1024/tb=64 (175.8 at 128; the r3 select chain ran 216.8) — 1.54x and
+# now 7.4 Gpix/s; 825.7 @2048/tb=64 (857.0 select); 4081.2 @4096/tb=32
+# (4049.3 select — par; the win shrinks as HBM share grows). Two-kernel
+# chain for comparison: 209.9/889.5/5462.3 @1024/2048/4096.
 # NOTE the 8192 tier initially looked relay-impossible (HTTP 413): the
 # cause was benchmark CLOSURES capturing 256 MB device arrays, which jit
 # embeds as compile-request constants — with arrays passed as arguments
 # (as the production driver does) every kernel compiles at 8192.
-_TIERS_H2 = ((1024, 128, 48 * MB), (2048, 64, 64 * MB), (4096, 64, 64 * MB),
+_TIERS_H2 = ((1024, 64, 48 * MB), (2048, 64, 64 * MB), (4096, 32, 64 * MB),
              (8192, 32, 64 * MB))
 # halo >= 3 triples the warp/compose tap masks; start one tile down
 # (unmeasured — wide halos route through warp_halo_auto's clamp first).

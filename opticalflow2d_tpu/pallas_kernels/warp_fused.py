@@ -42,6 +42,9 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 # driver's outer warps lower to the XLA roll chain at 8192, whose
 # compilation crashes the remote Mosaic helper (HTTP 500) — the gather
 # tier is what makes 8192^2 end-to-end runs possible at all here.
+# Round-4 hat-gather remeasure (r7_results.jsonl warp_gather_hat):
+# 27.9 us @1024/halo2/tb128 (2.6x the select chain's 72.1), 313.4 @2048,
+# 2134.7 @4096, 9328.7 @8192 — tiers unchanged.
 _TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB),
              (8192, 16, 64 * MB))
 _TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB),
@@ -99,13 +102,15 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
     # reads padded rows r + a + PAD — a sublane roll by -(a+PAD) (no wrap
     # reaches r < tb) followed by the aligned [0:tb] slice. Lane offsets b
     # are lane rolls (wrap lands only where weights/bounds mask it).
-    # oy-outer rolling pair: only lane(oy) and lane(oy+1) are live at any
-    # point (the previous iteration's lane(oy+1) is reused) — ~3x larger
-    # feasible tile footprints than an ox-outer nest holding all 2*halo+2
-    # lane rolls live, and measured >= it wherever both compile (r4
-    # decision sweep, RESULTS.md round 4). Bit-identical outputs: the
-    # (ox, oy) masks are disjoint, so each element is written by at most
-    # one select.
+    # Hat-accumulation gather (round 4, see demons_fused._bilinear_tile):
+    # each integer offset (a, b) is weighted by the per-axis bilinear hat
+    # weights and accumulated directly — (2h+2)^2 + (2h+2) rolls and one
+    # fma per offset, vs the r4-r6 select chain's 4(2h+1)^2 rolls + 4
+    # selects per offset and 4 live g-tile accumulators. Outputs are
+    # bit-identical under the displacement contract: the weights are the
+    # ORIGINAL w00/w10/w01/w11 float expressions placed over the offset
+    # enumeration, nonzero terms land in the original g00,g10,g01,g11
+    # accumulation order, and every other term is an exact +-0.
     def lane(b):
         return pltpu.roll(tile, (ny - b) % ny, 2)
 
@@ -113,29 +118,33 @@ def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,
         shifted = pltpu.roll(src, (rows - (a + _PAD)) % rows, 1)
         return shifted[:, 0:tb, :]
 
-    z = jnp.zeros((nc, tb, ny), tile.dtype)
-    g00, g10, g01, g11 = z, z, z, z
-    lane_hi = lane(-halo)
-    for oy in range(-halo, halo + 1):
-        lane_lo = lane_hi          # lane(oy)
-        lane_hi = lane(oy + 1)
-        my = ry == oy
-        for ox in range(-halo, halo + 1):
-            m = my & (rx == ox)  # broadcasts over the channel axis
-            g00 = jnp.where(m, rolled(lane_lo, ox), g00)
-            g10 = jnp.where(m, rolled(lane_lo, ox + 1), g10)
-            g01 = jnp.where(m, rolled(lane_hi, ox), g01)
-            g11 = jnp.where(m, rolled(lane_hi, ox + 1), g11)
-
     has_x1 = dxi < nx - 1
     has_y1 = dyi < ny - 1
-    w00 = (1.0 - fx) * (1.0 - fy)
-    w10 = jnp.where(has_x1, fx * (1.0 - fy), 0.0)
-    w01 = jnp.where(has_y1, (1.0 - fx) * fy, 0.0)
+    one_m_fx = 1.0 - fx
+    one_m_fy = 1.0 - fy
+    w00 = one_m_fx * one_m_fy
+    w10 = jnp.where(has_x1, fx * one_m_fy, 0.0)
+    w01 = jnp.where(has_y1, one_m_fx * fy, 0.0)
     w11 = jnp.where(has_x1 & has_y1, fx * fy, 0.0)
-    value = g00 * w00 + g10 * w10 + g01 * w01 + g11 * w11
     weight = w00 + w10 + w01 + w11
     safe_w = jnp.where(weight != 0, weight, 1.0)
+
+    def hat(r, frac, one_m_frac, has1, o):
+        return jnp.where(
+            r == o, one_m_frac,
+            jnp.where((r == o - 1) & has1, frac, 0.0),
+        )
+
+    wx_list = [hat(rx, fx, one_m_fx, has_x1, a)
+               for a in range(-halo, halo + 2)]
+    value = None
+    for b in range(-halo, halo + 2):
+        lane_b = lane(b)
+        wy_b = hat(ry, fy, one_m_fy, has_y1, b)
+        for a in range(-halo, halo + 2):
+            m = (wx_list[a + halo] * wy_b)[None]
+            term = m * rolled(lane_b, a)
+            value = term if value is None else value + term
 
     if compose:
         # u_inc + warped(u_total) in bounds (increment-only when weight==0);

@@ -201,6 +201,18 @@ def _make_fused_step(
         compose_smooth_pallas,
     )
 
+    # Thirion composition: the smoothed correspondence is statically
+    # bounded by sigma_x/(2*sigma_i) (AM-GM on the force denominator, see
+    # demons_onepass), so the compose pass only needs that halo — the same
+    # cut the one-pass kernel makes (halo_c), which also keeps the two
+    # paths' tap chains identical expression trees (bit-identical outputs).
+    # Diffeomorphic keeps the full halo: the exp map's squarings can grow
+    # the displacement beyond the force bound.
+    import math as _math
+
+    halo_c = (halo if diffeomorphic
+              else min(halo, max(1, _math.ceil(sigma_x / (2.0 * sigma_i)))))
+
     def exact_corr(args):
         u, iref, imov = args
         iwar = warp2d(imov, u, 0)
@@ -220,7 +232,8 @@ def _make_fused_step(
 
     def fused_update(args):
         u, c = args
-        return compose_smooth_pallas(u, c, sigma_diffusion, kernelwidth, halo)
+        return compose_smooth_pallas(u, c, sigma_diffusion, kernelwidth,
+                                     halo_c)
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
         px, py = _sample_coords(u)
@@ -233,7 +246,7 @@ def _make_fused_step(
         if diffeomorphic or accumulation == MotionAccumulation.COMPOSITION:
             pxc, pyc = _sample_coords(c)
             return lax.cond(
-                _displacement_bounded(u, pxc, pyc, halo),
+                _displacement_bounded(u, pxc, pyc, halo_c),
                 fused_update, exact_update, (u, c),
             )
         return gaussian_smooth(u + c, sigma_diffusion, kernelwidth)

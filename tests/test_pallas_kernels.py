@@ -504,7 +504,12 @@ def test_thirion_onepass_matches_jnp_chain(accum, kw, rng):
         if addition:
             twok = gaussian_smooth(u + c2, 1.7, kw)
         else:
-            twok = compose_smooth_pallas(u, c2, 1.7, kw, halo=2)
+            # halo=1: the static force bound sigma_x/(2*sigma_i) = 0.125,
+            # so the production two-kernel path composes at halo_c = 1
+            # (solvers.demons._make_fused_step) — the same enumeration the
+            # one-pass kernel uses, which keeps the hat-gather tap chains
+            # identical expression trees (bitwise comparison below).
+            twok = compose_smooth_pallas(u, c2, 1.7, kw, halo=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
     if addition:
