@@ -109,9 +109,14 @@ def main():
             from opticalflow2d_tpu.solvers.base import derivatives
             d = derivatives(iref_n, imov_n)
             u0 = jnp.zeros((2, n, n), jnp.float32)
-            step = make_curvature_step(n, n, 0.1, 1.0)
 
-            def stepc(st):
+            def stepc(st, n=n):
+                # Build the step INSIDE the traced fn: constructed eagerly,
+                # its eigenvalue table would be a concrete [n, n] device
+                # array that the timing jit captures as a 256 MB compile-
+                # request constant at 8192 (the relay 413 trap). Traced,
+                # it is an in-program iota+cos (hoisted loop-invariant).
+                step = make_curvature_step(n, n, 0.1, 1.0)
                 v, gi, it_img = st
                 return (step(v, Derivatives(gi, it_img)), gi, it_img)
 

@@ -60,6 +60,13 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     eigenvalue table (no runtime reorder) and degrades per axis to the
     dense transform when the extent is odd or < 128
     (``effective_split_depth``), so "auto" is safe at every pyramid level.
+
+    Large-extent note: past ``ops.dct._DEVICE_GEN_MIN`` the eigenvalue
+    table and transform matrices are generated on device. Call this
+    factory UNDER a jit trace (the registration driver does) so they stay
+    in-program ops; built eagerly, the table becomes a concrete [nx, ny]
+    device array that a later jit captures as a compile-request constant
+    (256 MB at 8192^2 — the relay HTTP-413 trap, CLAUDE.md).
     """
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
