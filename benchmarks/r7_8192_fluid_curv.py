@@ -151,7 +151,11 @@ def main():
                     res = run_levels(iref, imov, cfg, register)
                     best = min(best, time.perf_counter() - t0)
                 from opticalflow2d_tpu.ops.warp import warp2d
-                ireg = warp2d(imov, res.motion, 5, False)
+                # use_pallas: at 8192 the halo-5 jnp path is an XLA roll
+                # chain whose COMPILATION crashes the remote helper — the
+                # r7 first-run e2e "failures" were this check, not the
+                # registration (isolation probes passed every level).
+                ireg = warp2d(imov, res.motion, 5, True)
                 ssd0 = float(jnp.sum((iref - imov) ** 2))
                 ssd1 = float(jnp.sum((iref - ireg) ** 2))
                 emit({"bench": "e2e_perlevel_smooth", "method": method.name,

@@ -129,10 +129,21 @@ def _displacement_bounded(data, px, py, halo: int):
     return jnp.max(jnp.where(in_b, off_pix, 0.0)) <= halo
 
 
+# Largest extent at which the jnp roll fast path is allowed to trace: at
+# 8192 lanes the (2h+2)^2-copy roll chain's COMPILATION crashes the remote
+# TPU Mosaic helper (HTTP 500; CLAUDE.md, r6/r7 probes), while 4096
+# compiles and runs. Past this, halo>0 silently takes the exact gather —
+# identical results; callers wanting speed there use the Pallas tier
+# (use_pallas=True), which covers 8192.
+_ROLL_PATH_MAX_EXTENT = 4096
+
+
 def _bilinear_gather(data, px, py, halo: int = 0):
     """Dispatch: exact gather (``halo=0``) or roll-based fast path guarded
     by a runtime displacement bound (``lax.cond`` falls back to the exact
     gather when any pixel's floor offset exceeds ``halo``)."""
+    if halo > 0 and max(data.shape[-2], data.shape[-1]) > _ROLL_PATH_MAX_EXTENT:
+        halo = 0  # roll chain untraceable at this extent (see above)
     if halo <= 0:
         return _bilinear_from_taps(data, px, py, _gather_taps_exact)
 

@@ -110,3 +110,23 @@ def test_compose_rolls_fast_path_matches_exact(rng):
     a = np.asarray(compose(jnp.asarray(u_total), jnp.asarray(u_inc), halo=0))
     b = np.asarray(compose(jnp.asarray(u_total), jnp.asarray(u_inc), halo=3))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_roll_path_extent_guard():
+    """Past _ROLL_PATH_MAX_EXTENT the halo>0 jnp path must trace as the
+    exact gather (no lax.cond roll branch): the (2h+2)^2-copy roll chain's
+    COMPILATION crashes the remote TPU Mosaic helper at 8192 lanes
+    (CLAUDE.md; r7 isolation probes). Checked on abstract shapes via the
+    jaxpr, so no 8192^2 arrays are allocated."""
+    import jax
+
+    def traced_has_cond(n):
+        img = jax.ShapeDtypeStruct((n, n), jnp.float32)
+        u = jax.ShapeDtypeStruct((2, n, n), jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda i, v: warp2d(i, v, halo=3, use_pallas=False)
+        )(img, u)
+        return "cond" in {e.primitive.name for e in jaxpr.jaxpr.eqns}
+
+    assert traced_has_cond(1024)       # roll fast path + runtime fallback
+    assert not traced_has_cond(8192)   # guard collapses to exact gather
