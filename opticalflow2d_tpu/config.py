@@ -157,7 +157,11 @@ class RegConfig:
     # "split"/"split_high"/"split_fast" (split-radix at the matching
     # precision: ~1/3 the MXU MACs, coefficient permutation absorbed into
     # the eigenvalue table; falls back to the dense transform per axis
-    # when the extent is odd or < 128).
+    # when the extent is odd or < 128). "split_fast" is the measured
+    # opt-in speed tier for MAC-bound grids: 2.50x/1.55x/1.42x over
+    # split_high at 2048/4096/8192 with ~7e-3 per-step error that does
+    # not accumulate (converged SSD equal to parity, 2.4-2.8e-3 px mean
+    # endpoint drift — benchmarks/r8_results.jsonl).
     dct_impl: str = "auto"
     # Warp fast-path halo: TPU has no hardware gather, so bilinear warps use
     # masked circular shifts when every in-bounds sample's floor offset is

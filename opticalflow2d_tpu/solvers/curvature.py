@@ -45,9 +45,16 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
       MAC saving grows with N since the dense transform is O(N^3));
     - "split" / "split_fast": the split factorization at
       HIGHEST / single-pass precision. "split" is near-parity (3e-7 rel)
-      at 1.52-2.17x the dense HIGHEST; "split_fast" LOSES to
-      "matmul_fast" (the 1-pass step is bandwidth-bound, so the extra
-      concat/reverse passes cost more than the saved MACs);
+      at 1.52-2.17x the dense HIGHEST. "split_fast" (bf16-input matmuls)
+      loses to "matmul_fast" at 1024^2 where the 1-pass step is
+      bandwidth-bound, but WINS once the step is MAC-bound: 2.50x /
+      1.55x / 1.42x over split_high at 2048/4096/8192 (611 / 10,357 /
+      79,008 us/iter; r8_results.jsonl). Its ~7e-3 per-step relative
+      error is bf16 input rounding and does NOT accumulate: converged
+      registrations match parity SSD reduction to ~2e-4 with 2.4-2.8e-3
+      px mean endpoint drift (r8 curv_fast_quality) — the measured
+      opt-in speed tier for large grids; the default stays split_high
+      (drift at the 4.5e-5 noise floor);
     - "matmul": MXU dense transform at HIGHEST precision (6-pass f32) —
       bit-closest; the parity/compat setting (``RegConfig.resolved_dct_impl``
       selects it automatically when bug-compat flags are on);
