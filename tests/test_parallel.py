@@ -1,6 +1,8 @@
 """Parallel-layer tests on the 8-virtual-device CPU mesh (conftest sets
 xla_force_host_platform_device_count=8)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,38 @@ def test_register_batch_matches_serial():
         np.testing.assert_allclose(
             np.asarray(res.motion[k]), np.asarray(serial.motion), rtol=2e-4, atol=1e-5
         )
+
+
+def test_register_batch_vmap_forces_jnp_kernels():
+    """The vmapped path must run the jnp kernels: pallas_call's batching
+    rule gives the blocked/fused kernels' ANY-space operands a non-trivial
+    index map that the Mosaic lowering rejects at >=512^2 (r8 serving
+    sweep, under the round-4 production defaults). On CPU this test
+    discriminates directly — without the override, use_pallas=True
+    would attempt a real pallas_call and fail."""
+    from opticalflow2d_tpu.parallel.batch import _resolve_impl, _vmap_safe
+
+    cfg_p = dataclasses.replace(CFG, use_pallas=True, pallas_block_k=16)
+    safe = _vmap_safe(cfg_p)
+    assert safe.use_pallas is False and safe.pallas_block_elastic is False
+    assert _vmap_safe(CFG) is CFG  # already jnp: no rebuild
+
+    # auto: Pallas-enabled configs batch per pair (map); pure-jnp
+    # variational configs vmap; cond-heavy methods always map.
+    assert _resolve_impl(cfg_p, "auto") == "map"
+    assert _resolve_impl(CFG, "auto") == "vmap"
+    cfg_fl = dataclasses.replace(CFG, method=Method.FLUID, mu=0.25,
+                                 lam=0.0, warp_halo=2)
+    assert _resolve_impl(cfg_fl, "auto") == "map"
+    assert _resolve_impl(cfg_p, "vmap") == "vmap"  # explicit wins
+
+    irefs, imovs = _batch_pairs(2)
+    res = register_batch(irefs, imovs, cfg_p, impl="vmap")
+    serial = register(irefs[0], imovs[0], CFG)
+    np.testing.assert_allclose(
+        np.asarray(res.motion[0]), np.asarray(serial.motion),
+        rtol=2e-4, atol=1e-5,
+    )
 
 
 @requires_8
