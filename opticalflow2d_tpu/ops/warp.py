@@ -137,6 +137,19 @@ def _displacement_bounded(data, px, py, halo: int):
 # (use_pallas=True), which covers 8192.
 _ROLL_PATH_MAX_EXTENT = 4096
 
+# Past this extent the EXACT gather cannot live in the same program as a
+# level driver: the remote compile helper dies (HTTP 500) on any
+# 16384-lane program combining the gather lowering with a while_loop
+# (r8 probe_16384_b — every per-level e2e crashed at halo 0 AND halo 4,
+# while each component compiles alone). When a Pallas gather tier is
+# feasible, warps past this extent therefore take the fast path
+# UNCONDITIONALLY — no lax.cond, no exact-gather branch in the program.
+# The drivers still compute the bound predicate into
+# ``LevelTrace.fallbacks``, so a halo violation stays visible in the
+# trace (the violating pixels degrade instead of falling back — the same
+# contract the explicit-SP strip drivers always had).
+_EXACT_FALLBACK_MAX_EXTENT = 8192
+
 
 def _bilinear_gather(data, px, py, halo: int = 0):
     """Dispatch: exact gather (``halo=0``) or roll-based fast path guarded
@@ -190,6 +203,9 @@ def warp2d(image: jnp.ndarray, u: jnp.ndarray, halo: int = 0,
             warp2d_pallas, gather_feasible)
 
         if gather_feasible(image.shape[1], halo):
+            if max(image.shape) > _EXACT_FALLBACK_MAX_EXTENT:
+                return warp2d_pallas(image, u, halo=halo)
+
             def fast(_):
                 return warp2d_pallas(image, u, halo=halo)
 
@@ -230,6 +246,9 @@ def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0,
             compose_pallas, gather_feasible)
 
         if gather_feasible(u_total.shape[2], halo):
+            if max(u_total.shape[1:]) > _EXACT_FALLBACK_MAX_EXTENT:
+                return compose_pallas(u_total, u_inc, halo=halo)
+
             def fast(_):
                 return compose_pallas(u_total, u_inc, halo=halo)
 

@@ -45,10 +45,15 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 # Round-4 hat-gather remeasure (r7_results.jsonl warp_gather_hat):
 # 27.9 us @1024/halo2/tb128 (2.6x the select chain's 72.1), 313.4 @2048,
 # 2134.7 @4096, 9328.7 @8192 — tiers unchanged.
+# ny=16384 (r8 probe_16384_b): halo 2 runs 61-63 ms, halo 4 79-84 ms at
+# tb 8/16 (tb=16 best both) vs 24.1 s for the exact gather — the tier
+# that makes 16384^2 registrations possible (the exact gather cannot
+# even share a program with a level driver there, see
+# ops.warp._EXACT_FALLBACK_MAX_EXTENT).
 _TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB),
-             (8192, 16, 64 * MB))
+             (8192, 16, 64 * MB), (16384, 16, 64 * MB))
 _TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB),
-               (8192, 16, 64 * MB))
+               (8192, 16, 64 * MB), (16384, 16, 64 * MB))
 
 
 def _tier(ny: int, halo: int):
@@ -60,8 +65,9 @@ def _tier(ny: int, halo: int):
 
 def gather_feasible(ny: int, halo: int) -> bool:
     """True when the Pallas gather has a measured-stable (tile, vmem
-    limit) configuration at this lane extent (ny <= 4096). Callers
-    (``ops.warp.warp2d``/``compose``) take the jnp roll path otherwise."""
+    limit) configuration at this lane extent (tables cover ny <= 16384).
+    Callers (``ops.warp.warp2d``/``compose``) take the jnp path
+    otherwise."""
     return _tier(ny, halo) is not None
 
 

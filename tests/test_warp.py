@@ -130,3 +130,35 @@ def test_roll_path_extent_guard():
 
     assert traced_has_cond(1024)       # roll fast path + runtime fallback
     assert not traced_has_cond(8192)   # guard collapses to exact gather
+
+
+def test_exact_fallback_extent_guard():
+    """Past _EXACT_FALLBACK_MAX_EXTENT the Pallas fast path must trace
+    UNCONDITIONALLY (no lax.cond, no exact-gather branch): any
+    16384-lane program combining the exact-gather lowering with a level
+    driver's while_loop crashes the remote compile helper (r8
+    probe_16384_b), so the fallback branch cannot exist in-program
+    there. The drivers keep halo violations visible through the
+    independently computed ``LevelTrace.fallbacks`` predicate. Abstract
+    shapes only — nothing is allocated."""
+    import jax
+
+    from opticalflow2d_tpu.ops.warp import compose
+
+    def eqn_names(fn, *shapes):
+        args = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes]
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return {e.primitive.name for e in jaxpr.jaxpr.eqns}
+
+    n = 16384
+    names = eqn_names(lambda i, v: warp2d(i, v, halo=2, use_pallas=True),
+                      (n, n), (2, n, n))
+    assert "cond" not in names
+    assert names & {"jit", "pjit"}  # the jitted pallas gather call
+    names = eqn_names(lambda t, v: compose(t, v, halo=2, use_pallas=True),
+                      (2, n, n), (2, n, n))
+    assert "cond" not in names
+    # At ordinary extents the runtime-checked fallback remains.
+    names = eqn_names(lambda i, v: warp2d(i, v, halo=2, use_pallas=True),
+                      (1024, 1024), (2, 1024, 1024))
+    assert "cond" in names
