@@ -52,6 +52,31 @@ from opticalflow2d_tpu.solvers.fluid import make_fluid_step
 from opticalflow2d_tpu.solvers.demons import make_demons_step
 
 
+# Past this extent, fence the per-refinement derivatives from the
+# iteration loop (see _loop_invariant_derivs). 8192-lane programs compile
+# and match their recorded rows; the crash starts at 16384.
+_DERIV_BARRIER_MIN_EXTENT = 8192
+
+
+def _loop_invariant_derivs(d: Derivatives) -> Derivatives:
+    """Fence the per-refinement derivatives from the iteration loop past
+    ``_DERIV_BARRIER_MIN_EXTENT`` lanes with ``lax.optimization_barrier``.
+    Without it, any 16384^2 program that computes the derivatives
+    in-program ahead of a ``while_loop`` of solver steps crashes the
+    remote TPU compile helper (HTTP 500): the SAME loop compiles when the
+    derivatives arrive as program arguments, or with this barrier, and
+    the unfenced control reproducibly dies (r8 probe_16384_e/f/g,
+    benchmarks/r8_results.jsonl). The barrier is semantically a no-op and
+    costs nothing here — the derivatives are loop-invariant, so the only
+    fusion it prevents is a recompute-into-the-loop. Gated by extent so
+    every measured <=8192 program stays byte-identical to its recorded
+    row."""
+    if max(d.it.shape) <= _DERIV_BARRIER_MIN_EXTENT:
+        return d
+    gi, it_img = lax.optimization_barrier((d.grad_i, d.it))
+    return Derivatives(gi, it_img)
+
+
 class LevelTrace(NamedTuple):
     """Convergence trace of one (level, refinement) solve — the functional
     equivalent of the reference's ``Logger`` error array."""
@@ -141,7 +166,7 @@ def _solve_level_blocked(u, iref, imov, cfg: RegConfig, niter: int,
     traces = []
     for _refine in range(cfg.nrefine):
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
-        d = derivatives(iref, iaux)
+        d = _loop_invariant_derivs(derivatives(iref, iaux))
         g = stack_derivs(d.grad_i, d.it)
 
         def cond(carry):
@@ -283,7 +308,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
     traces = []
     for _refine in range(cfg.nrefine):
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
-        d = derivatives(iref, iaux)
+        d = _loop_invariant_derivs(derivatives(iref, iaux))
 
         def cond(carry):
             _, _, it, conv, _ = carry
@@ -330,7 +355,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     traces = []
     for _refine in range(cfg.nrefine):
         iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
-        d = derivatives(iref, iaux)
+        d = _loop_invariant_derivs(derivatives(iref, iaux))
 
         def cond(carry):
             it, conv = carry[-4], carry[-3]
