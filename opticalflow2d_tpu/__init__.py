@@ -21,7 +21,11 @@ from opticalflow2d_tpu.config import (
     CompatFlags,
     RegConfig,
 )
-from opticalflow2d_tpu.engine.registration import register, RegistrationResult
+from opticalflow2d_tpu.engine.registration import (
+    register,
+    register_phased,
+    RegistrationResult,
+)
 from opticalflow2d_tpu.engine.session import OpticalFlow2d
 
 __version__ = "0.1.0"
@@ -32,6 +36,7 @@ __all__ = [
     "CompatFlags",
     "RegConfig",
     "register",
+    "register_phased",
     "RegistrationResult",
     "OpticalFlow2d",
 ]

@@ -180,7 +180,8 @@ class RegConfig:
     warp_halo_outer: int = 4
     # Driver-level halo automation: run the coarse pyramid levels first,
     # read back ONE scalar (max |u| of the upsampled coarse motion), pick
-    # warp_halo_outer = ceil(max|u| + 0.5) clamped to <= 8 for the
+    # warp_halo_outer = ceil(max|u| + 0.5) clamped to <= 7 (the Pallas
+    # gather's pad bound — halo 8 has no fused tier) for the
     # full-resolution level, and run it warm-started from the coarse field
     # (the same level-boundary split as checkpoint resume; matches the
     # monolithic run to ~1 ulp). The OUTER halo is the knob that matters:

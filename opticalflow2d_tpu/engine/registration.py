@@ -189,12 +189,22 @@ def _solve_level_blocked(u, iref, imov, cfg: RegConfig, niter: int,
                 any_conv, t_conv + 1, jnp.minimum(niter - it, k)
             ).astype(jnp.int32)
 
-            def recompute(u0):
-                return lax.fori_loop(
-                    0, n_take, lambda _, v: step_fn(v, d), u0
-                )
+            if k == 1:
+                # n_take == 1 always; the recompute cond would be dead —
+                # and MUST be absent past 8192 lanes: a fori_loop of jnp
+                # steps inside lax.cond inside the while_loop crashes the
+                # remote TPU compile at 16384^2 even when the identical
+                # loop compiles un-branched (r8 probe_16384_m vs _k).
+                # k=1 is how the engine runs the blocked kernels there.
+                u_next = u_blk
+            else:
+                def recompute(u0):
+                    return lax.fori_loop(
+                        0, n_take, lambda _, v: step_fn(v, d), u0
+                    )
 
-            u_next = lax.cond(n_take < k, recompute, lambda _u: u_blk, u_est)
+                u_next = lax.cond(n_take < k, recompute, lambda _u: u_blk,
+                                  u_est)
             if cfg.verbose_stream:
                 jax.debug.callback(
                     _print_block, jnp.int32(scale), it, errs_blk, n_take
@@ -218,24 +228,32 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
     """Diffusion / Curvature / Elastic: derivatives once per refinement,
     update-only iterations (reference ImageRegistrationOpticalFlow.cpp:97-151)."""
     nx, ny = iref.shape
+    # Past 8192 lanes the blocked kernels run at k=1: the partial-block
+    # recompute branch cannot exist in a 16384^2 program (see
+    # _solve_level_blocked), and k=1 needs none. The kernel path itself
+    # is also the only one that compiles there — its Logger error sums
+    # are in-kernel, while the jnp loop's sqrt-norm reduction crashes
+    # the remote compile (r8 probe_16384_i).
+    huge = max(nx, ny) > _DERIV_BARRIER_MIN_EXTENT
     blockable = (
-        cfg.use_pallas and cfg.pallas_block_k > 1
+        cfg.use_pallas and (cfg.pallas_block_k > 1 or huge)
         and cfg.jnp_dtype == jnp.float32
     )
     if cfg.method == Method.DIFFUSION:
         if blockable:
             from opticalflow2d_tpu.pallas_kernels import diffusion_block
 
-            if diffusion_block._pick_tiles(nx, cfg.pallas_block_k, None, ny,
+            k_blk = 1 if huge else cfg.pallas_block_k
+            if diffusion_block._pick_tiles(nx, k_blk, None, ny,
                                            with_errors=True) is not None:
                 from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
                     diffusion_step_pallas,
                 )
 
                 return _solve_level_blocked(
-                    u, iref, imov, cfg, niter, scale, cfg.pallas_block_k,
+                    u, iref, imov, cfg, niter, scale, k_blk,
                     block_fn=lambda u_est, g, d: diffusion_block.diffusion_block_pallas(
-                        u_est, g, cfg.alpha, k=cfg.pallas_block_k
+                        u_est, g, cfg.alpha, k=k_blk
                     ),
                     step_fn=lambda v, d: diffusion_step_pallas(
                         v, d.grad_i, d.it, cfg.alpha
@@ -274,7 +292,9 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         k_el = (cfg.pallas_block_k_elastic
                 if cfg.pallas_block_k_elastic is not None
                 else min(4, cfg.pallas_block_k))
-        if (blockable and block_elastic and k_el > 1
+        if huge:
+            k_el = 1  # no recompute branch past 8192 lanes (see above)
+        if (blockable and block_elastic and (k_el > 1 or huge)
                 and cfg.navier_lame_solver == "sor"
                 and cfg.sor_ordering == "redblack"):
             from opticalflow2d_tpu.pallas_kernels import elastic_block
@@ -651,7 +671,7 @@ def register(
         base = _dc.replace(cfg, warp_halo_auto=False)
         coarse = register(iref, imov, base, stop_scale=1)
         maxu = float(jnp.max(jnp.abs(coarse.motion)))
-        h_out = max(cfg.warp_halo_outer, min(8, _math.ceil(maxu + 0.5)))
+        h_out = max(cfg.warp_halo_outer, min(7, _math.ceil(maxu + 0.5)))
         fitted = _dc.replace(base, warp_halo_outer=h_out)
         fine = register(iref, imov, fitted, initial_motion=coarse.motion,
                         start_scale=0)
@@ -686,3 +706,126 @@ def register(
             )
         return _jitted_register(cfg, True, start_scale, stop_scale)(iref, imov, u0)
     return _jitted_register(cfg, False, start_scale, stop_scale)(iref, imov)
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted_resample(kind: str, a: int, b: int):
+    if kind == "down_img":
+        return jax.jit(lambda x: downsample_image(x, (a, b)))
+    if kind == "down_motion":
+        return jax.jit(lambda u: downsample_motion(u, (a, b)))
+    return jax.jit(lambda u: upsample_motion(u, (a, b)))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_level(cfg: RegConfig, niter: int, scale: int):
+    return jax.jit(
+        lambda u, r, m: _solve_level(u, r, m, cfg, niter, scale)
+    )
+
+
+def register_phased(iref, imov, cfg: RegConfig,
+                    initial_motion=None) -> RegistrationResult:
+    """Host-phased registration for huge grids.
+
+    Same semantics as ``register`` (same level flow as
+    ``_register_impl``, including the reference's §2.3.6 motion round
+    trip), but every phase runs as its OWN XLA program with arrays
+    materialized between phases: per-level image downsamples, each
+    level's solve (with its refinement loop), and the motion up/down
+    resamples. Splitting at these boundaries matches the monolithic run
+    to float associativity — the checkpoint-resume property the
+    per-level ``start_scale``/``stop_scale`` path already relies on.
+
+    Exists because at 16384^2 any single program that combines the
+    derivative computation or a sqrt-norm reduction with the iteration
+    while_loop crashes the remote TPU compile toolchain (r8 probe
+    series, benchmarks/RESULTS.md r8 "16384^2"). With the production
+    defaults (``use_pallas`` on), diffusion and elastic ride the
+    temporal-blocked kernels, whose Logger error sums are computed
+    IN-KERNEL — no XLA norm in the loop — and are the validated
+    16384^2 path (25 iters in 484 ms). The jnp/non-blocked families
+    (curvature, fluid, demons, or ``use_pallas=False``) still evaluate
+    ``motion_norm`` inside their loops and remain subject to the
+    toolchain bug at 16384; below that extent ``register_phased``
+    works for every family and simply trades one big compile for a few
+    small ones.
+    """
+    iref = jnp.asarray(iref, cfg.jnp_dtype)
+    imov = jnp.asarray(imov, cfg.jnp_dtype)
+    if iref.shape != imov.shape or iref.ndim != 2:
+        raise ValueError(
+            f"iref/imov must be matching 2D images, got {iref.shape} vs "
+            f"{imov.shape}"
+        )
+    dims = pyramid_dims(iref.shape, cfg.nscales)
+    if min(dims[-1]) < 4:
+        raise ValueError(
+            f"nscales={cfg.nscales} shrinks the coarsest level to "
+            f"{dims[-1]}; every level needs at least 4 pixels per side"
+        )
+    import dataclasses as _dc
+    import math as _math
+
+    auto_halo = (bool(cfg.warp_halo_auto) and cfg.nscales >= 1
+                 and initial_motion is None)
+    if cfg.warp_halo_auto:
+        cfg = _dc.replace(cfg, warp_halo_auto=False)
+
+    irefs = {0: iref}
+    imovs = {0: imov}
+    for s in range(1, cfg.nscales + 1):
+        down = _jitted_resample("down_img", *dims[s])
+        irefs[s] = down(iref)
+        imovs[s] = down(imov)
+
+    if initial_motion is not None:
+        u_full = jnp.asarray(initial_motion, cfg.jnp_dtype)
+        if u_full.shape != (2,) + dims[0]:
+            raise ValueError(
+                f"initial_motion must be [2, {dims[0][0]}, {dims[0][1]}], "
+                f"got {u_full.shape}"
+            )
+    else:
+        u_full = None  # zeros created per level below
+
+    traces = []
+    coarse_final = None
+    level_cfg = cfg
+    for s in range(cfg.nscales, -1, -1):
+        if s == cfg.nscales and s > 0:
+            if u_full is not None:
+                u_s = _jitted_resample("down_motion", *dims[s])(u_full)
+            else:
+                u_s = jnp.zeros((2,) + dims[s], cfg.jnp_dtype)
+        elif 0 < s < cfg.nscales:
+            u_s = _jitted_resample("down_motion", *dims[s])(u_full)
+        elif s == 0 and u_full is None:
+            u_s = jnp.zeros((2,) + dims[0], cfg.jnp_dtype)
+        else:
+            u_s = u_full
+
+        if s == 0 and cfg.nscales >= 1 and auto_halo:
+            # The two-phase fitted outer halo of register()'s
+            # warp_halo_auto path, which is naturally host-driven here:
+            # one scalar readback of the coarse solution's max component
+            # sizes the full-resolution level's outer halo.
+            maxu = float(jnp.max(jnp.abs(u_s)))
+            h_out = max(cfg.warp_halo_outer, min(7, _math.ceil(maxu + 0.5)))
+            level_cfg = _dc.replace(cfg, warp_halo_outer=h_out)
+
+        u_s, level_traces = _jitted_level(level_cfg, int(cfg.niter[s]), s)(
+            u_s, irefs[s], imovs[s]
+        )
+        traces.extend(level_traces)
+        if s == cfg.nscales:
+            coarse_final = u_s
+        if s > 0:
+            u_full = _jitted_resample("up_motion", *dims[0])(u_s)
+        else:
+            u_full = u_s
+
+    return RegistrationResult(
+        motion=u_full, traces=tuple(traces),
+        coarse_motion=coarse_final,
+    )

@@ -162,10 +162,13 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
 # ny=8192 (r6j, arrays as args — closure constants were what made 8192
 # look impossible): k=8 errors-off measured 1161.2 us/iter at tb=32 vs
 # 1188.3 at 64; errors-on unmeasured at 8192, same cap with margin.
+# ny=16384 (r8 probe_16384_h, errors-on, state-threaded): k=16 tb=16
+# 9828.5 us/iter, k=8 tb=16 8561.5 (31.4 Gpix/s), k=8 tb=8 9257.0 —
+# the fast path of the 16384^2 phased registrations (register_phased).
 _TIERS_ERR = ((1024, 128, None), (2048, 128, 48 * MB), (4096, 64, 64 * MB),
-              (8192, 32, 64 * MB))
+              (8192, 32, 64 * MB), (16384, 16, 64 * MB))
 _TIERS_NOERR = ((1024, 128, None), (2048, 64, 32 * MB), (4096, 64, 64 * MB),
-                (8192, 32, 64 * MB))
+                (8192, 32, 64 * MB), (16384, 16, 64 * MB))
 
 
 def _tier(ny: int, with_errors: bool):

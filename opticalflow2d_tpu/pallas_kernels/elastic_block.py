@@ -166,8 +166,10 @@ def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
 # @4096 at 48M (1495.2 vs 2825.6 at the default-limit tb=8 — 1.9x).
 # ny=8192 (r6j): k=4 measured 6768.0 us/iter at tb=32; tb=64 crashes the
 # remote Mosaic compile (HTTP 500), so the cap stays at 32.
+# ny=16384 (r8 probe_16384_k): k=4 tb=8 runs 52.6 ms/iter; tb=16 crashes
+# the remote Mosaic compile (HTTP 500) — cap 8.
 _TIERS = ((1024, 128, 48 * MB), (2048, 64, 32 * MB), (4096, 64, 48 * MB),
-          (8192, 32, 64 * MB))
+          (8192, 32, 64 * MB), (16384, 8, 64 * MB))
 
 
 def _tier(ny: int):

@@ -65,10 +65,12 @@ def _tier(ny: int, halo: int):
 
 def gather_feasible(ny: int, halo: int) -> bool:
     """True when the Pallas gather has a measured-stable (tile, vmem
-    limit) configuration at this lane extent (tables cover ny <= 16384).
-    Callers (``ops.warp.warp2d``/``compose``) take the jnp path
-    otherwise."""
-    return _tier(ny, halo) is not None
+    limit) configuration at this lane extent (tables cover ny <= 16384)
+    AND the halo fits the kernel's fixed ``_PAD`` rows (halo <= 7; an
+    8-halo request used to raise mid-trace from ``_run_gather`` — the
+    auto-halo cap is 7 for the same reason). Callers
+    (``ops.warp.warp2d``/``compose``) take the jnp path otherwise."""
+    return halo + 1 <= _PAD and _tier(ny, halo) is not None
 
 
 def _gather_kernel(row0_ref, data_pad_hbm, ux_ref, uy_ref, orig_ref, out_ref,

@@ -310,3 +310,45 @@ def test_register_warp_halo_auto_matches_fixed():
     # Same level structure, and the fitted fine level never fell back.
     assert len(res_auto.traces) == len(res_fixed.traces)
     assert int(res_auto.traces[-1].fallbacks) == 0
+
+
+@pytest.mark.parametrize("method,kw", ALL_METHODS)
+def test_register_phased_matches_register(method, kw):
+    """register_phased (host-phased programs for huge grids) must match
+    the monolithic driver: same level flow split at resample/level
+    boundaries — the checkpoint-resume property, ~1 ulp."""
+    from opticalflow2d_tpu.engine.registration import register_phased
+
+    iref, imov = make_pair(48, 40, shift=(1.2, -0.7))
+    cfg = RegConfig(method=method, niter=(8, 6), nscales=1, **kw)
+    a = register(iref, imov, cfg)
+    b = register_phased(iref, imov, cfg)
+    np.testing.assert_allclose(
+        np.asarray(b.motion), np.asarray(a.motion), rtol=1e-5, atol=1e-6
+    )
+    assert [int(t.iterations) for t in a.traces] == [
+        int(t.iterations) for t in b.traces
+    ]
+    np.testing.assert_allclose(
+        np.asarray(b.coarse_motion), np.asarray(a.coarse_motion),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_register_phased_auto_halo_and_warm_start():
+    from opticalflow2d_tpu.engine.registration import register_phased
+
+    iref, imov = make_pair(64, 48, shift=(2.0, -1.0))
+    cfg = RegConfig(method=Method.DIFFUSION, alpha=0.5, niter=(10, 8),
+                    nscales=1, warp_halo_auto=True)
+    a = register(iref, imov, cfg)
+    b = register_phased(iref, imov, cfg)
+    np.testing.assert_allclose(
+        np.asarray(b.motion), np.asarray(a.motion), rtol=1e-5, atol=1e-6
+    )
+    # Warm start seeds the pyramid identically.
+    a2 = register(iref, imov, cfg, initial_motion=a.motion)
+    b2 = register_phased(iref, imov, cfg, initial_motion=a.motion)
+    np.testing.assert_allclose(
+        np.asarray(b2.motion), np.asarray(a2.motion), rtol=1e-5, atol=1e-6
+    )
