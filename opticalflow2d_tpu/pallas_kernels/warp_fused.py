@@ -50,7 +50,11 @@ _PAD = 8  # zero-padding rows above/below; covers tap offsets for halo <= 7
 # that makes 16384^2 registrations possible (the exact gather cannot
 # even share a program with a level driver there, see
 # ops.warp._EXACT_FALLBACK_MAX_EXTENT).
-_TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 16, 32 * MB),
+# r8 retune (confirm sweep, iters 20/100): hat-gather @4096 runs ~9%
+# faster at tb=64 (1925.1 us vs 2109.8 at the old tb=16 tier, stable
+# across vmem limits); 2048 and the onepass tiers re-confirmed optimal
+# (the 5/25-iteration sweep's outliers were tunnel jitter).
+_TIERS_H2 = ((1024, 128, 32 * MB), (2048, 32, None), (4096, 64, 32 * MB),
              (8192, 16, 64 * MB), (16384, 16, 64 * MB))
 _TIERS_WIDE = ((1024, 32, None), (2048, 32, 48 * MB), (4096, 16, 64 * MB),
                (8192, 16, 64 * MB), (16384, 16, 64 * MB))
