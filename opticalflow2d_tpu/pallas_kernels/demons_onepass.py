@@ -251,8 +251,13 @@ def _strip_kernel(row0_ref, iaux_hbm, iref_hbm, u_hbm, out_ref,
 # cause was benchmark CLOSURES capturing 256 MB device arrays, which jit
 # embeds as compile-request constants — with arrays passed as arguments
 # (as the production driver does) every kernel compiles at 8192.
+# ny=16384 (r8 probe_16384_o): tb=8 runs 140.5 ms/iter (1.9 Gpix/s —
+# the 8-row tile is lane-inefficient but the only one that compiles;
+# tb=16 HTTP-500s the remote Mosaic compile at 64M and 100M). Past 8192
+# the solver step is also CALLED cond-free (solvers.demons trust mode;
+# an exact-gather fallback branch cannot compile in a 16384 program).
 _TIERS_H2 = ((1024, 64, 48 * MB), (2048, 64, 64 * MB), (4096, 32, 64 * MB),
-             (8192, 32, 64 * MB))
+             (8192, 32, 64 * MB), (16384, 8, 64 * MB))
 # halo >= 3 triples the warp/compose tap masks; start one tile down
 # (unmeasured — wide halos route through warp_halo_auto's clamp first).
 _TIERS_WIDE = ((1024, 64, 48 * MB), (2048, 32, 64 * MB), (4096, 8, 64 * MB))

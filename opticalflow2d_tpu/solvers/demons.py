@@ -167,6 +167,17 @@ def _make_onepass_step(
         )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray) -> jnp.ndarray:
+        from opticalflow2d_tpu.ops import warp as _warp
+
+        if max(u.shape[1:]) > _warp._EXACT_FALLBACK_MAX_EXTENT:
+            # Trust mode past 8192 lanes: the exact-gather fallback branch
+            # cannot exist in a 16384^2 program (its compilation kills the
+            # remote helper — same wall as ops.warp's unconditional fast
+            # path). The level driver's independently computed fallback
+            # predicate still lands in ``LevelTrace.fallbacks``, so a halo
+            # violation is visible; the violating pixels degrade instead
+            # of falling back.
+            return fused_full((u, iref, imov))
         px, py = _sample_coords(u)
         return lax.cond(
             _displacement_bounded(imov[None], px, py, halo),

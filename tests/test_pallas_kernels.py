@@ -639,3 +639,25 @@ def test_thirion_onepass_with_errors_ragged(rng):
     want = logger_sums(got, u)
     np.testing.assert_allclose(np.asarray(sums), np.asarray(want),
                                rtol=1e-6)
+
+
+def test_demons_onepass_trust_mode_past_8192():
+    """Past 8192 lanes the one-pass demons step must trace WITHOUT the
+    runtime lax.cond (its exact-gather jnp fallback branch cannot compile
+    in a 16384^2 program — r8 probe_16384_o); at ordinary extents the
+    runtime-checked fallback remains. Abstract shapes only."""
+    import jax
+
+    from opticalflow2d_tpu.solvers.demons import make_demons_step
+
+    step = make_demons_step(1.0, 0.25, 2.0, 2.0, 5, diffeomorphic=False,
+                            warp_halo=2, use_pallas=True, with_errors=True)
+
+    def eqn_names(n):
+        u = jax.ShapeDtypeStruct((2, n, n), jnp.float32)
+        img = jax.ShapeDtypeStruct((n, n), jnp.float32)
+        jaxpr = jax.make_jaxpr(step)(u, img, img)
+        return {e.primitive.name for e in jaxpr.jaxpr.eqns}
+
+    assert "cond" not in eqn_names(16384)
+    assert "cond" in eqn_names(1024)
