@@ -102,7 +102,23 @@ class RegistrationResult(NamedTuple):
     coarse_motion: jnp.ndarray | None = None
 
 
-def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
+def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray,
+                    use_pallas: bool = False) -> jnp.ndarray:
+    if use_pallas and max(u_prev.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT:
+        # Past 8192 lanes the jnp norms below cannot compile inside the
+        # iteration loop (the sqrt+reduce fusion kills the remote TPU
+        # compile — r8 probe_16384_i/j); the Pallas kernel computes the
+        # same sums with the sqrt inside Mosaic. Extent-gated: <= 8192
+        # stays on the bitwise-pinned jnp path.
+        from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+            logger_norms_pallas,
+        )
+
+        s = logger_norms_pallas(u_new, u_prev)
+        n = u_prev.shape[1] * u_prev.shape[2]
+        dn = s[0] / n
+        pn = s[1] / n
+        return jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
     prev_norm = motion_norm(u_prev)
     diff_norm = motion_norm(u_new - u_prev)
     return jnp.where(prev_norm == 0, 0.0, diff_norm / jnp.where(prev_norm == 0, 1.0, prev_norm))
@@ -337,7 +353,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         def body(carry):
             u_est, prev, it, conv, errs = carry
             u_new = step(u_est, d)
-            err = _rel_step_error(u_new, prev)
+            err = _rel_step_error(u_new, prev, cfg.use_pallas)
             _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
@@ -388,7 +404,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             # NOT reset by regridding (the reference's Logger lives outside
             # the regrid block, ImageRegistrationFluid.cpp:99-124), so it is
             # carried separately from u_est.
-            err = _rel_step_error(u_new, prev)
+            err = _rel_step_error(u_new, prev, cfg.use_pallas)
             _stream_iter(cfg, scale, it, err)
             prev = u_new
             errs = errs.at[it].set(err)

@@ -1,0 +1,85 @@
+"""Logger norm pair as a Pallas kernel.
+
+``logger_norms_pallas(u_new, u_prev) -> [2]`` computes
+``[sum |u_new - u_prev|, sum |u_prev|]`` (per-pixel magnitudes, the
+reference Logger's quantities — ``src/Logger.cpp:30-60`` tracks their
+ratio) with the per-pixel sqrt INSIDE Mosaic and only a sqrt-free lane
+reduction left to XLA.
+
+Exists for huge grids: at 16384^2 any XLA program that evaluates a
+per-pixel-sqrt norm reduction inside a while_loop crashes the remote
+TPU compile helper (r8 probe_16384_i/j — fenced or not; sum-of-squares
+compiles, so it is specifically the sqrt+reduce fusion). Mosaic handles
+the same sqrt fine — the temporal-blocked kernels have computed these
+exact sums in-kernel since round 3. This standalone kernel gives the
+NON-blocked solver families (curvature; fluid's Logger term) the same
+escape hatch: ``engine.registration._rel_step_error`` dispatches here
+past 8192 lanes when the config runs Pallas.
+
+Accumulation order differs from ``ops.reduce.motion_norm``'s XLA
+reduction tree (row-block partials, then one XLA sum), so values can
+differ by float-associativity ulps — the dispatch is extent-gated
+(> 8192) where no parity oracle exists; at or below 8192 the jnp norm
+is used unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from opticalflow2d_tpu.pallas_kernels import MB, compiler_params
+
+
+def _norm_kernel(new_ref, prev_ref, diff_ref, prev_out_ref):
+    # Outputs are [1, 8, ny] blocks (Mosaic requires the last two block
+    # dims divisible by (8, 128) or full-extent); the row sums land in
+    # sublane 0, zeros elsewhere, and the caller just sums everything.
+    un = new_ref[...]
+    up = prev_ref[...]
+    d = un - up
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, un.shape[2]), 0)
+    dsum = jnp.sum(jnp.sqrt(d[0] ** 2 + d[1] ** 2), axis=0, keepdims=True)
+    psum = jnp.sum(jnp.sqrt(up[0] ** 2 + up[1] ** 2), axis=0, keepdims=True)
+    diff_ref[0, :, :] = jnp.where(row == 0, dsum, 0.0)
+    prev_out_ref[0, :, :] = jnp.where(row == 0, psum, 0.0)
+
+
+def _pick_tb(nx: int, ny: int) -> int:
+    """Largest multiple-of-8 row tile dividing nx with the four resident
+    [2, tb, ny] operand tiles within a comfortable VMEM budget
+    (tb * ny <= 512k lanes ~= 8 MB per two-channel pair)."""
+    cap = max(8, (512 * 1024 // max(ny, 1)) // 8 * 8)
+    for cand in range(min(cap, nx), 7, -8):
+        if nx % cand == 0:
+            return cand
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=())
+def logger_norms_pallas(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
+    """``u_new, u_prev [2, nx, ny] -> [2]`` Logger sums (see module doc)."""
+    _, nx, ny = u_new.shape
+    tb = _pick_tb(nx, ny)
+    nblocks = nx // tb
+    diff_p, prev_p = pl.pallas_call(
+        _norm_kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u_new.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u_new.dtype),
+        ],
+        compiler_params=compiler_params(64 * MB),
+    )(u_new, u_prev)
+    return jnp.stack([jnp.sum(diff_p), jnp.sum(prev_p)])

@@ -661,3 +661,46 @@ def test_demons_onepass_trust_mode_past_8192():
 
     assert "cond" not in eqn_names(16384)
     assert "cond" in eqn_names(1024)
+
+
+def test_logger_norms_pallas_matches_jnp(rng):
+    """The Logger norm-pair kernel (the >8192 escape hatch for the
+    non-blocked families' convergence errors) must match the jnp sums."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+        logger_norms_pallas,
+    )
+
+    u_new = jnp.asarray(rng.standard_normal((2, 64, 48)).astype(np.float32))
+    u_prev = jnp.asarray(rng.standard_normal((2, 64, 48)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(logger_norms_pallas(u_new, u_prev))
+    d = u_new - u_prev
+    want = np.array([
+        float(jnp.sum(jnp.sqrt(d[0] ** 2 + d[1] ** 2))),
+        float(jnp.sum(jnp.sqrt(u_prev[0] ** 2 + u_prev[1] ** 2))),
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # Extent-gate policy: _rel_step_error only dispatches here past 8192
+    # lanes AND under use_pallas (abstract shapes; nothing allocated).
+    import jax as _jax
+
+    from opticalflow2d_tpu.engine.registration import _rel_step_error
+
+    def has_pallas(n, use_pallas):
+        u = _jax.ShapeDtypeStruct((2, n, n), jnp.float32)
+        jaxpr = _jax.make_jaxpr(
+            lambda a, b: _rel_step_error(a, b, use_pallas))(u, u)
+        names = set()
+        for e in jaxpr.jaxpr.eqns:
+            names.add(e.primitive.name)
+            if e.primitive.name in ("jit", "pjit"):
+                names |= {i.primitive.name
+                          for i in e.params["jaxpr"].jaxpr.eqns}
+        return "pallas_call" in names
+
+    assert has_pallas(16384, True)
+    assert not has_pallas(16384, False)
+    assert not has_pallas(1024, True)
