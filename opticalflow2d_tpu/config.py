@@ -76,11 +76,13 @@ class CompatFlags:
     persistent_motion: bool = False
 
 
-@functools.lru_cache(maxsize=1)
 def _tpu_is_default_backend() -> bool:
-    """True when jax will execute on a TPU by default. Cached: the first
-    call initializes the backend (one-time; cheap on CPU, opens the tunnel
-    under the remote-TPU plugin). Used only to resolve ``use_pallas=None``."""
+    """True when jax will execute on a TPU by default. Uncached and called
+    lazily (``RegConfig.resolved_use_pallas``), never at config
+    construction: the first call initializes the backend (opens the tunnel
+    under the remote-TPU plugin), so a config built before the caller
+    selects a platform must not pin the answer. ``jax.default_backend()``
+    itself memoizes after initialization, so repeated calls are cheap."""
     try:
         import jax
 
@@ -245,14 +247,12 @@ class RegConfig:
     verbose_stream: bool = False
 
     def __post_init__(self):
-        # Resolve the None=auto TPU knobs to concrete booleans here so every
-        # downstream consumer (engine, parallel drivers, ops) sees plain
-        # bools and lru_cache/jit-static hashing stays trivial.
-        if self.use_pallas is None:
-            object.__setattr__(
-                self, "use_pallas",
-                self.dtype == "float32" and _tpu_is_default_backend(),
-            )
+        # Resolve the None=auto knobs that need no backend query here so
+        # downstream consumers see plain bools. use_pallas=None is the
+        # exception: it resolves LAZILY (resolved_use_pallas) because the
+        # backend query initializes jax's platform — a config built before
+        # the caller selects a platform (e.g. before forcing CPU) must not
+        # open the remote-TPU tunnel or pin a stale answer.
         if self.warp_halo_auto is None:
             object.__setattr__(self, "warp_halo_auto", self.nscales >= 1)
         if len(self.niter) < self.nscales + 1:
@@ -270,6 +270,20 @@ class RegConfig:
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def resolved_use_pallas(self) -> bool:
+        """Resolve ``use_pallas=None`` (auto) at first use: ON when the
+        default JAX backend is a TPU and dtype is float32 (see the field
+        doc). Lazy so that RegConfig construction never initializes the
+        backend. Note for jit caching: a config with ``use_pallas=None``
+        hashes independently of the backend, so the resolution is baked
+        into a traced program at trace time — switching JAX platforms
+        mid-process after tracing keeps the old resolution (switching
+        platforms mid-process is unsupported by jax anyway)."""
+        if self.use_pallas is not None:
+            return bool(self.use_pallas)
+        return self.dtype == "float32" and _tpu_is_default_backend()
 
     @property
     def resolved_dct_impl(self) -> str:

@@ -104,16 +104,19 @@ class RegistrationResult(NamedTuple):
 
 def _rel_step_error(u_new: jnp.ndarray, u_prev: jnp.ndarray,
                     use_pallas: bool = False) -> jnp.ndarray:
-    if use_pallas and max(u_prev.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT:
+    from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+        logger_norms_feasible,
+        logger_norms_pallas,
+    )
+
+    if (use_pallas and max(u_prev.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT
+            and logger_norms_feasible(*u_prev.shape[1:])):
         # Past 8192 lanes the jnp norms below cannot compile inside the
         # iteration loop (the sqrt+reduce fusion kills the remote TPU
         # compile — r8 probe_16384_i/j); the Pallas kernel computes the
         # same sums with the sqrt inside Mosaic. Extent-gated: <= 8192
-        # stays on the bitwise-pinned jnp path.
-        from opticalflow2d_tpu.pallas_kernels.logger_norms import (
-            logger_norms_pallas,
-        )
-
+        # stays on the bitwise-pinned jnp path. Non-multiple-of-8 row
+        # counts have no exact tiling and stay on the jnp norm too.
         s = logger_norms_pallas(u_new, u_prev)
         n = u_prev.shape[1] * u_prev.shape[2]
         dn = s[0] / n
@@ -181,7 +184,7 @@ def _solve_level_blocked(u, iref, imov, cfg: RegConfig, niter: int,
     nb = -(-niter // k)
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         d = _loop_invariant_derivs(derivatives(iref, iaux))
         g = stack_derivs(d.grad_i, d.it)
 
@@ -235,7 +238,7 @@ def _solve_level_blocked(u, iref, imov, cfg: RegConfig, niter: int,
         errs0 = jnp.zeros((nb * k,), u.dtype)
         carry = (u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs[:niter], it, jnp.int32(0)))
     return u, traces
 
@@ -252,7 +255,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
     # the remote compile (r8 probe_16384_i).
     huge = max(nx, ny) > _DERIV_BARRIER_MIN_EXTENT
     blockable = (
-        cfg.use_pallas and (cfg.pallas_block_k > 1 or huge)
+        cfg.resolved_use_pallas and (cfg.pallas_block_k > 1 or huge)
         and cfg.jnp_dtype == jnp.float32
     )
     if cfg.method == Method.DIFFUSION:
@@ -279,7 +282,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
             single_feasible,
         )
 
-        if cfg.use_pallas and single_feasible(nx, ny):
+        if cfg.resolved_use_pallas and single_feasible(nx, ny):
             # Fused Pallas kernel (TPU Mosaic; use
             # pltpu.force_tpu_interpret_mode() to trace it on CPU).
             from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
@@ -343,7 +346,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
 
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         d = _loop_invariant_derivs(derivatives(iref, iaux))
 
         def cond(carry):
@@ -353,7 +356,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         def body(carry):
             u_est, prev, it, conv, errs = carry
             u_new = step(u_est, d)
-            err = _rel_step_error(u_new, prev, cfg.use_pallas)
+            err = _rel_step_error(u_new, prev, cfg.resolved_use_pallas)
             _stream_iter(cfg, scale, it, err)
             errs = errs.at[it].set(err)
             conv = (err < cfg.convergence_tol) & (it > 1)
@@ -363,7 +366,7 @@ def _solve_level_variational(u, iref, imov, cfg: RegConfig, niter: int, scale: i
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, u0, jnp.int32(0), jnp.bool_(False), errs0)
         u_est, _, it, _, errs = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0)))
     return u, traces
 
@@ -384,13 +387,13 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         reference_stencil=cfg.compat.elastic_stencil_reference,
         sor_ordering=cfg.sor_ordering,
         spectral_solve=spectral_solve,
-        use_pallas=cfg.use_pallas,
+        use_pallas=cfg.resolved_use_pallas,
     )
 
     velocity = jnp.zeros_like(u)
     traces = []
     for _refine in range(cfg.nrefine):
-        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         d = _loop_invariant_derivs(derivatives(iref, iaux))
 
         def cond(carry):
@@ -404,7 +407,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             # NOT reset by regridding (the reference's Logger lives outside
             # the regrid block, ImageRegistrationFluid.cpp:99-124), so it is
             # carried separately from u_est.
-            err = _rel_step_error(u_new, prev, cfg.use_pallas)
+            err = _rel_step_error(u_new, prev, cfg.resolved_use_pallas)
             _stream_iter(cfg, scale, it, err)
             prev = u_new
             errs = errs.at[it].set(err)
@@ -418,8 +421,8 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
 
             def regrid(args):
                 u_tot, u_new, grad_i, it_img = args
-                u_tot2 = compose(u_tot, u_new, cfg.warp_halo_outer, cfg.use_pallas)
-                iaux2 = warp2d(imov, u_tot2, cfg.warp_halo_outer, cfg.use_pallas)
+                u_tot2 = compose(u_tot, u_new, cfg.warp_halo_outer, cfg.resolved_use_pallas)
+                iaux2 = warp2d(imov, u_tot2, cfg.warp_halo_outer, cfg.resolved_use_pallas)
                 d2 = derivatives(iref, iaux2)
                 return u_tot2, jnp.zeros_like(u_new), d2.grad_i, d2.it
 
@@ -439,7 +442,7 @@ def _solve_level_fluid(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             jnp.int32(0), jnp.bool_(False), errs0, jnp.int32(0),
         )
         u, u_est, _, velocity, _, _, it, _, errs, nregrid = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, nregrid))
     return u, traces
 
@@ -460,7 +463,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         conv_flatwrap=cfg.compat.conv_flatwrap,
         maxabs_bug=cfg.compat.maxabs_bug,
         warp_halo=cfg.warp_halo,
-        use_pallas=cfg.use_pallas,
+        use_pallas=cfg.resolved_use_pallas,
         with_errors=True,
     )
 
@@ -477,7 +480,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
             pxo, pyo = _sample_coords(u)
             nfb0 = (~_displacement_bounded(
                 imov[None], pxo, pyo, cfg.warp_halo_outer)).astype(jnp.int32)
-        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.use_pallas)
+        iaux = warp2d(imov, u, cfg.warp_halo_outer, cfg.resolved_use_pallas)
 
         def cond(carry):
             _, it, conv, _, _ = carry
@@ -507,7 +510,7 @@ def _solve_level_demons(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
         errs0 = jnp.zeros((niter,), u.dtype)
         carry = (u0, jnp.int32(0), jnp.bool_(False), errs0, nfb0)
         u_est, it, _, errs, nfb = lax.while_loop(cond, body, carry)
-        u = compose(u, u_est, cfg.warp_halo_outer, cfg.use_pallas)
+        u = compose(u, u_est, cfg.warp_halo_outer, cfg.resolved_use_pallas)
         traces.append(LevelTrace(jnp.int32(scale), errs, it, jnp.int32(0),
                                  fallbacks=nfb))
     return u, traces
@@ -519,6 +522,303 @@ def _solve_level(u, iref, imov, cfg: RegConfig, niter: int, scale: int):
     if cfg.method == Method.FLUID:
         return _solve_level_fluid(u, iref, imov, cfg, niter, scale)
     return _solve_level_demons(u, iref, imov, cfg, niter, scale)
+
+
+# ---------------------------------------------------------------------------
+# Host-stepped level driver (huge grids)
+# ---------------------------------------------------------------------------
+#
+# One XLA program per iteration, with the Logger stop check and the fluid
+# regrid decision made on the HOST between programs — structurally the
+# reference's own C++ level loop (ImageRegistrationOpticalFlow.cpp:97-151,
+# ImageRegistrationFluid.cpp:67-142, ImageRegistrationDemons.cpp:86-137),
+# where every iteration is a sequence of host calls too. Exists because at
+# 16384^2 the remote TPU toolchain cannot compile programs that put a
+# while_loop around these iteration bodies (derivative fusion, sqrt-norm
+# reduction, recompute/regrid branches — RESULTS.md "16384^2 on one
+# chip"); with no loop in the program, each wall disappears. Dispatch
+# costs ~28 ms/program through the tunnel, small against 16384^2
+# per-iteration compute. Families with a validated in-program 16384 path
+# (blocked diffusion/elastic, one-pass Thirion) keep it; register_phased
+# routes the rest (curvature, fluid, diffeomorphic demons) here past 8192
+# lanes.
+
+def _make_var_single_step(cfg: RegConfig, nx: int, ny: int):
+    """Single variational update step (u_est, d) -> u_new for the stepped
+    driver: the non-blocked step selection of _solve_level_variational."""
+    if cfg.method == Method.DIFFUSION:
+        from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+            single_feasible,
+        )
+
+        if cfg.resolved_use_pallas and single_feasible(nx, ny):
+            from opticalflow2d_tpu.pallas_kernels.diffusion_fused import (
+                diffusion_step_pallas,
+            )
+
+            return lambda u_est, d: diffusion_step_pallas(
+                u_est, d.grad_i, d.it, cfg.alpha
+            )
+        return lambda u_est, d: diffusion_step(u_est, d, cfg.alpha)
+    if cfg.method == Method.CURVATURE:
+        step = make_curvature_step(
+            nx, ny, cfg.alpha, cfg.tau, cfg.jnp_dtype, cfg.resolved_dct_impl
+        )
+        return lambda u_est, d: step(u_est, d)
+    if cfg.method == Method.ELASTIC:
+        if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
+            from opticalflow2d_tpu.solvers.base import lssd_force
+
+            solve = _make_navier_lame_spectral(cfg, nx, ny)
+            return lambda u_est, d: solve(lssd_force(d, u_est))
+        return lambda u_est, d: elastic_step(
+            u_est, d, cfg.mu, cfg.lam, cfg.omega,
+            cfg.compat.elastic_stencil_reference, cfg.sor_ordering,
+        )
+    raise ValueError(cfg.method)  # pragma: no cover
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_stepped(cfg: RegConfig):
+    """The per-iteration programs of the host-stepped driver, one jitted
+    callable each (shape-specialized on first call per shape)."""
+    up = cfg.resolved_use_pallas
+    ho = cfg.warp_halo_outer
+
+    def prederive(imov, u, iref):
+        iaux = warp2d(imov, u, ho, up)
+        d = derivatives(iref, iaux)
+        return iaux, d.grad_i, d.it
+
+    def prederive_stacked(imov, u, iref):
+        # Fluid variant: emit the derivatives prestacked as [3, nx, ny] —
+        # the layout the fused fluid kernel consumes, so no per-iteration
+        # 3-plane concat (3 GB at 16384^2).
+        from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+            stack_derivs,
+        )
+
+        iaux = warp2d(imov, u, ho, up)
+        d = derivatives(iref, iaux)
+        return stack_derivs(d.grad_i, d.it)
+
+    def warp_outer(imov, u):
+        return warp2d(imov, u, ho, up)
+
+    def var_step(u_est, grad_i, it_img):
+        # The monolithic variational carry keeps prev == the step input
+        # (body returns (u_new, u_new, ...)), so the error is vs u_est —
+        # no separate prev plane. u_est is donated: at 16384^2 each
+        # motion plane is 1 GB and the curvature spectral step's HBM
+        # residency is the binding constraint (RESULTS.md "16384^2").
+        d = Derivatives(grad_i, it_img)
+        step = _make_var_single_step(cfg, *u_est.shape[1:])
+        u_new = step(u_est, d)
+        return u_new, _rel_step_error(u_new, u_est, up)
+
+    def curv_rhs(u_est, grad_i, it_img):
+        # Curvature iteration, program 1 of 2: force + rhs. Split from the
+        # spectral solve so their intermediates never coexist — the
+        # one-program curvature iteration OOMs a 16 GB chip at 16384^2
+        # (r9_results.jsonl); u_est is NOT donated here (the convergence
+        # error needs it in program 2).
+        d = Derivatives(grad_i, it_img)
+        from opticalflow2d_tpu.solvers.base import lssd_force
+
+        return u_est - cfg.tau * lssd_force(d, u_est)
+
+    def curv_solve(rhs, u_est):
+        # Program 2 of 2: spectral solve + Logger error; rhs and u_est
+        # both donated (the host drops both handles after this call).
+        from opticalflow2d_tpu.solvers.curvature import make_curvature_solve
+
+        solve = make_curvature_solve(*rhs.shape[1:], cfg.alpha, cfg.tau,
+                                     cfg.jnp_dtype, cfg.resolved_dct_impl)
+        u_new = solve(rhs)
+        return u_new, _rel_step_error(u_new, u_est, up)
+
+    def demons_step(u_est, iref, iaux):
+        step = make_demons_step(
+            cfg.sigma_i, cfg.sigma_x, cfg.sigma_diffusion, cfg.sigma_fluid,
+            cfg.kernelwidth,
+            diffeomorphic=(cfg.method == Method.DIFFEOMORPHIC_DEMONS),
+            accumulation=cfg.accumulation,
+            conv_flatwrap=cfg.compat.conv_flatwrap,
+            maxabs_bug=cfg.compat.maxabs_bug,
+            warp_halo=cfg.warp_halo,
+            use_pallas=up,
+            with_errors=True,
+        )
+        fb = jnp.int32(0)
+        if cfg.warp_halo > 0:
+            px, py = _sample_coords(u_est)
+            fb = (~_displacement_bounded(
+                iaux[None], px, py, cfg.warp_halo)).astype(jnp.int32)
+        u_new, sums = step(u_est, iref, iaux)
+        n_pix = u_est.shape[1] * u_est.shape[2]
+        dn = sums[0] / n_pix
+        pn = sums[1] / n_pix
+        err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+        return u_new, err, fb
+
+    def _fluid_step_impl(u_est, prev, vel, g):
+        spectral_solve = None
+        nx, ny = u_est.shape[1:]
+        if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
+            spectral_solve = _make_navier_lame_spectral(cfg, nx, ny)
+        step = make_fluid_step(
+            cfg.mu, cfg.lam, cfg.omega,
+            dumax=cfg.dumax,
+            timestep_skip=cfg.timestep_skip,
+            maxabs_bug=cfg.compat.maxabs_bug,
+            reference_stencil=cfg.compat.elastic_stencil_reference,
+            sor_ordering=cfg.sor_ordering,
+            spectral_solve=spectral_solve,
+            use_pallas=up,
+        )
+        u_new, vel, _dt = step(u_est, vel, g)  # g prestacked [3, nx, ny]
+        err = _rel_step_error(u_new, prev, up)
+        jac_min = jnp.min(jacobian_det(u_new))
+        return u_new, vel, err, jac_min
+
+    def fluid_step(u_est, vel, g):
+        # Common-path variant: the Logger prev IS the step input (the
+        # last logged estimate) except for the one iteration right after
+        # a regrid — so u_est can be donated here.
+        return _fluid_step_impl(u_est, u_est, vel, g)
+
+    def fluid_step_postregrid(u_est, prev, vel, g):
+        # Right after a regrid u_est was zeroed but the Logger prev keeps
+        # the pre-regrid estimate (the Logger lives outside the regrid
+        # block, ImageRegistrationFluid.cpp:99-124).
+        return _fluid_step_impl(u_est, prev, vel, g)
+
+    def compose_outer(u, u_est):
+        return compose(u, u_est, ho, up)
+
+    def fluid_regrid(u_tot, u_new, imov, iref):
+        # The reference regrid block (ImageRegistrationFluid.cpp:108-124):
+        # fold the estimate into the total, re-warp, re-derive, zero the
+        # estimate — here as its own program at the host boundary.
+        from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+            stack_derivs,
+        )
+
+        u_tot2 = compose(u_tot, u_new, ho, up)
+        iaux2 = warp2d(imov, u_tot2, ho, up)
+        d2 = derivatives(iref, iaux2)
+        return u_tot2, stack_derivs(d2.grad_i, d2.it)
+
+    # Donation: at 16384^2 each motion field is 2 GB and the level's HBM
+    # residency is the binding constraint (curvature's 16 GB OOM,
+    # RESULTS.md "16384^2"). u_est is donated wherever the host provably
+    # drops its handle after the call (variational + common-path fluid:
+    # prev == u_est, so no alias survives; demons: err comes from in-step
+    # sums; post-regrid fluid: u_est is a fresh zeros buffer). The
+    # velocity buffer is donated in both fluid variants.
+    return {
+        "prederive": jax.jit(prederive),
+        "prederive_stacked": jax.jit(prederive_stacked),
+        "warp_outer": jax.jit(warp_outer),
+        "var_step": jax.jit(var_step, donate_argnums=(0,)),
+        "curv_rhs": jax.jit(curv_rhs),
+        "curv_solve": jax.jit(curv_solve, donate_argnums=(0, 1)),
+        "demons_step": jax.jit(demons_step, donate_argnums=(0,)),
+        "fluid_step": jax.jit(fluid_step, donate_argnums=(0, 1)),
+        "fluid_step_postregrid": jax.jit(fluid_step_postregrid,
+                                         donate_argnums=(0, 2)),
+        "compose_outer": jax.jit(compose_outer, donate_argnums=(0,)),
+        "fluid_regrid": jax.jit(fluid_regrid, donate_argnums=(0,)),
+    }
+
+
+def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
+                         scale: int):
+    """Host-stepped level solve (see the section comment above): same
+    semantics as _solve_level — same step math, same Logger stop check
+    (src/Logger.cpp:32-58), same fluid regrid predicate and Logger-prev
+    carry (ImageRegistrationFluid.cpp:99-124) — with the control flow on
+    the host instead of inside lax.while_loop. Iterate/trace parity with
+    the monolithic driver is test-pinned at small sizes
+    (tests/test_registration.py::test_stepped_*)."""
+    import numpy as np
+
+    fns = _jitted_stepped(cfg)
+    tol = cfg.convergence_tol
+    demons = cfg.method in (Method.THIRIONS_DEMONS,
+                            Method.DIFFEOMORPHIC_DEMONS)
+    fluid = cfg.method == Method.FLUID
+
+    traces = []
+    velocity = jnp.zeros_like(u) if fluid else None
+    for _refine in range(cfg.nrefine):
+        errs = np.zeros((niter,), np.float64)
+        nregrid = 0
+        nfb = 0
+        if demons:
+            if cfg.warp_halo_outer > 0:
+                pxo, pyo = _sample_coords(u)
+                nfb += int(~_displacement_bounded(
+                    imov[None], pxo, pyo, cfg.warp_halo_outer))
+            iaux = fns["warp_outer"](imov, u)
+        elif fluid:
+            g = fns["prederive_stacked"](imov, u, iref)
+        else:
+            iaux, grad_i, it_img = fns["prederive"](imov, u, iref)
+            del iaux  # only the derivatives are consumed; frees a plane
+
+        u_est = jnp.zeros_like(u)
+        prev_sep = None  # fluid: a separate Logger prev exists only right after a regrid
+        it = 0
+        u_tot_level = u  # fluid: regridding folds into the level total
+        while it < niter:
+            if demons:
+                u_new, err, fb = fns["demons_step"](u_est, iref, iaux)
+                nfb += int(fb)
+            elif fluid:
+                if prev_sep is None:
+                    u_new, velocity, err, jac_min = fns["fluid_step"](
+                        u_est, velocity, g)
+                else:
+                    u_new, velocity, err, jac_min = fns[
+                        "fluid_step_postregrid"](
+                        u_est, prev_sep, velocity, g)
+                    prev_sep = None
+            elif cfg.method == Method.CURVATURE:
+                # Two programs per iteration (see curv_rhs/curv_solve):
+                # the split is what fits curvature in HBM at 16384^2.
+                rhs = fns["curv_rhs"](u_est, grad_i, it_img)
+                u_new, err = fns["curv_solve"](rhs, u_est)
+                del rhs
+            else:
+                u_new, err = fns["var_step"](u_est, grad_i, it_img)
+            err_f = float(err)
+            errs[it] = err_f
+            if cfg.verbose_stream:
+                _print_iter(scale, it, err_f)
+            conv = (err_f < tol) and (it > 1)
+            if fluid and not conv and float(jac_min) < cfg.regrid_threshold:
+                u_tot_level, g = fns["fluid_regrid"](
+                    u_tot_level, u_new, imov, iref)
+                # The Logger prev keeps the pre-regrid estimate
+                # (ImageRegistrationFluid.cpp:99-124).
+                prev_sep = u_new
+                u_new = jnp.zeros_like(u_new)
+                nregrid += 1
+            u_est = u_new
+            it += 1
+            if conv:
+                break
+
+        u = fns["compose_outer"](u_tot_level if fluid else u, u_est)
+        traces.append(LevelTrace(
+            jnp.int32(scale),
+            jnp.asarray(errs, u.dtype),
+            jnp.int32(it),
+            jnp.int32(nregrid),
+            fallbacks=jnp.int32(nfb),
+        ))
+    return u, traces
 
 
 def _register_impl(
@@ -741,7 +1041,8 @@ def _jitted_level(cfg: RegConfig, niter: int, scale: int):
 
 
 def register_phased(iref, imov, cfg: RegConfig,
-                    initial_motion=None) -> RegistrationResult:
+                    initial_motion=None,
+                    initial_coarse_motion=None) -> RegistrationResult:
     """Host-phased registration for huge grids.
 
     Same semantics as ``register`` (same level flow as
@@ -795,6 +1096,27 @@ def register_phased(iref, imov, cfg: RegConfig,
         irefs[s] = down(iref)
         imovs[s] = down(imov)
 
+    if initial_coarse_motion is not None and initial_motion is not None:
+        raise ValueError(
+            "initial_motion and initial_coarse_motion are mutually "
+            "exclusive (full-res warm start vs reference repeated-"
+            "register continuation)"
+        )
+    if initial_coarse_motion is not None:
+        # Repeated-register warm continuation (CompatFlags.persistent_motion):
+        # the reference never re-seeds motion[nscales]
+        # (ImageRegistration.cpp:137-139) — same semantics as
+        # register(initial_coarse_motion=...), host-phased. The coarse warm
+        # field also sizes the fitted outer halo below: the stale solution
+        # can be large even before the coarse level runs.
+        initial_coarse_motion = jnp.asarray(initial_coarse_motion,
+                                            cfg.jnp_dtype)
+        if initial_coarse_motion.shape != (2,) + dims[cfg.nscales]:
+            raise ValueError(
+                f"initial_coarse_motion must be [2, "
+                f"{dims[cfg.nscales][0]}, {dims[cfg.nscales][1]}] "
+                f"(coarsest level), got {initial_coarse_motion.shape}"
+            )
     if initial_motion is not None:
         u_full = jnp.asarray(initial_motion, cfg.jnp_dtype)
         if u_full.shape != (2,) + dims[0]:
@@ -810,14 +1132,21 @@ def register_phased(iref, imov, cfg: RegConfig,
     level_cfg = cfg
     for s in range(cfg.nscales, -1, -1):
         if s == cfg.nscales and s > 0:
-            if u_full is not None:
+            if initial_coarse_motion is not None:
+                u_s = initial_coarse_motion
+            elif u_full is not None:
                 u_s = _jitted_resample("down_motion", *dims[s])(u_full)
             else:
                 u_s = jnp.zeros((2,) + dims[s], cfg.jnp_dtype)
         elif 0 < s < cfg.nscales:
             u_s = _jitted_resample("down_motion", *dims[s])(u_full)
         elif s == 0 and u_full is None:
-            u_s = jnp.zeros((2,) + dims[0], cfg.jnp_dtype)
+            if cfg.nscales == 0 and initial_coarse_motion is not None:
+                # Single-scale continuation: the coarsest level IS the
+                # full-resolution field (WrapperOpticalFlow2d.cpp:86-102).
+                u_s = initial_coarse_motion
+            else:
+                u_s = jnp.zeros((2,) + dims[0], cfg.jnp_dtype)
         else:
             u_s = u_full
 
@@ -830,13 +1159,40 @@ def register_phased(iref, imov, cfg: RegConfig,
             h_out = max(cfg.warp_halo_outer, min(7, _math.ceil(maxu + 0.5)))
             level_cfg = _dc.replace(cfg, warp_halo_outer=h_out)
 
-        u_s, level_traces = _jitted_level(level_cfg, int(cfg.niter[s]), s)(
-            u_s, irefs[s], imovs[s]
-        )
+        stepped_here = cfg.method in (Method.CURVATURE, Method.FLUID)
+        if cfg.method == Method.DIFFEOMORPHIC_DEMONS:
+            # Diffeo in the exp-map identity regime rides the one-pass
+            # kernel in-program exactly like Thirion (solvers.demons.
+            # onepass_routed); only the dynamic-exp-map configs need the
+            # host-stepped driver.
+            from opticalflow2d_tpu.solvers.demons import onepass_routed
+
+            stepped_here = not onepass_routed(
+                cfg.sigma_i, cfg.sigma_x, cfg.kernelwidth, cfg.warp_halo,
+                cfg.resolved_use_pallas, True, cfg.compat.maxabs_bug,
+                cfg.compat.conv_flatwrap,
+            )
+        if max(dims[s]) > _DERIV_BARRIER_MIN_EXTENT and stepped_here:
+            # Families with no validated in-program 16384 path run this
+            # level host-stepped: one program per iteration, Logger stop
+            # and fluid regridding on the host (see _solve_level_stepped).
+            # Blocked diffusion/elastic and one-pass demons stay on the
+            # faster single-program level solve.
+            u_s, level_traces = _solve_level_stepped(
+                u_s, irefs[s], imovs[s], level_cfg, int(cfg.niter[s]), s
+            )
+        else:
+            u_s, level_traces = _jitted_level(level_cfg, int(cfg.niter[s]), s)(
+                u_s, irefs[s], imovs[s]
+            )
         traces.extend(level_traces)
         if s == cfg.nscales:
             coarse_final = u_s
         if s > 0:
+            # The coarser pyramid images are done — free them before the
+            # finer (larger) levels run; every MB matters at 16384^2.
+            irefs.pop(s, None)
+            imovs.pop(s, None)
             u_full = _jitted_resample("up_motion", *dims[0])(u_s)
         else:
             u_full = u_s

@@ -110,16 +110,18 @@ class OpticalFlow2d:
         if (self.config.compat.persistent_motion and self._result is not None
                 and self._result.coarse_motion is not None):
             warm_coarse = self._result.coarse_motion
-        if max(self.dims) > 8192 and warm_coarse is None:
+        if max(self.dims) > 8192:
             # Huge grids: one monolithic XLA program per level does not
             # compile at 16384^2 in this environment (three isolated
             # toolchain walls — RESULTS.md "16384^2 on one chip"); the
             # phased driver runs each pyramid phase as its own program
             # with identical semantics, so the 5-command surface keeps
-            # working out of the box.
+            # working out of the box — including persistent_motion warm
+            # continuation, which seeds the phased coarse level directly.
             from opticalflow2d_tpu.engine.registration import register_phased
 
-            self._result = register_phased(iref, imov, self.config)
+            self._result = register_phased(iref, imov, self.config,
+                                           initial_coarse_motion=warm_coarse)
         else:
             self._result = register(iref, imov, self.config,
                                     initial_coarse_motion=warm_coarse)

@@ -277,8 +277,29 @@ def compose(u_total: jnp.ndarray, u_inc: jnp.ndarray, halo: int = 0,
     return jnp.where(in_bounds[None], inc_plus, u_total)
 
 
+def static_expmap_nsq(maxabs_bound: float) -> int:
+    """Squaring count for ``expmap(..., static_nsq=...)`` from a STATIC
+    bound on ``maxabs(u)`` — the same formula the dynamic path evaluates
+    at runtime, applied to the bound. For ``maxabs_bound <= 0.5`` this is
+    0, and because the dynamic count is monotone in maxabs, the dynamic
+    path would also pick 0 for every field within the bound — the static
+    exp map is then BIT-IDENTICAL to the dynamic one (both are the
+    identity, matching the reference's early return for nsquares == 0,
+    ``src/Motion.cpp:257-260``). For larger bounds the static count is an
+    upper bound on the dynamic one: the scaled field is smaller and the
+    composition count fixed, so the result is a (slightly more accurate)
+    approximation of the same flow exponential rather than a bit match.
+    """
+    import math
+
+    if maxabs_bound <= 0:
+        return 0
+    return max(0, math.ceil(1.0 + math.log2(maxabs_bound)))
+
+
 def expmap(u: jnp.ndarray, maxabs_bug: bool = False, halo: int = 0,
-           use_pallas: bool = False) -> jnp.ndarray:
+           use_pallas: bool = False,
+           static_nsq: int | None = None) -> jnp.ndarray:
     """Exponential map of a velocity field by scaling and squaring
     (reference ``src/Motion.cpp:253-277``).
 
@@ -286,7 +307,25 @@ def expmap(u: jnp.ndarray, maxabs_bug: bool = False, halo: int = 0,
     and self-composed ``nsq`` times. ``maxabs_bug=True`` reproduces the
     reference's ``Motion::maxabs`` defect (``src/Motion.cpp:54``, uses the y
     component twice), which changes the number of squarings.
+
+    ``static_nsq``: fixed squaring count computed from a static bound on
+    the field (``static_expmap_nsq``) instead of the runtime maxabs.
+    Exists for >8192-lane programs, where the dynamic path's global
+    reduce feeding a data-dependent ``fori_loop`` trip count inside the
+    iteration loop is one of the remote-toolchain compile walls
+    (RESULTS.md "16384^2 on one chip"). With ``static_nsq == 0`` the map
+    is the identity, exactly as the dynamic path for any field with
+    maxabs <= 0.5; ``maxabs_bug`` is irrelevant in that regime (both
+    component maxima are under the threshold). The composes unroll as a
+    Python loop — no fori_loop, no maxabs reduce in the program.
     """
+    if static_nsq is not None:
+        if static_nsq == 0:
+            return u
+        v = u * jnp.asarray(2.0 ** -static_nsq, u.dtype)
+        for _ in range(static_nsq):
+            v = compose(v, v, halo, use_pallas)
+        return v
     m = motion_maxabs(u, bug=maxabs_bug)
     # log2(0) = -inf -> nsq clamps to 0 -> identity (matches the reference's
     # early return for nsquares == 0).

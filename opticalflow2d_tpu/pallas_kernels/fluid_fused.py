@@ -148,8 +148,13 @@ def _strip_kernel(scal_ref, u_hbm, vel_hbm, g_hbm, vel_ref, r_ref, max_ref,
 #   2048: 413.8 us @tb=64 (jnp 1889.3, 4.6x — XLA spills past L2)
 #   4096: 2374.0 us @tb=64 (jnp 11937.5, 5.0x)
 #   8192: 9753.0 us @tb=32 (11270.8 at 16, 14405.5 at 8)
+#   16384: tb=8 — the only row tile the remote Mosaic compile accepts at
+#   16384 lanes for the gather-class kernels (demons_onepass r8 probe_o:
+#   tb=16 HTTP-500s); same clamped-BlockSpec structure here. This tier is
+#   what makes fluid 16384^2 possible at all: the jnp chain's SOR/material
+#   -derivative temporaries OOM a 16 GB chip (r9_results.jsonl).
 _TIERS = ((1024, 256, 48 * MB), (2048, 64, 48 * MB), (4096, 64, 64 * MB),
-          (8192, 32, 64 * MB))
+          (8192, 32, 64 * MB), (16384, 8, 64 * MB))
 
 
 def _tier(ny: int):

@@ -48,12 +48,26 @@ def _norm_kernel(new_ref, prev_ref, diff_ref, prev_out_ref):
     prev_out_ref[0, :, :] = jnp.where(row == 0, psum, 0.0)
 
 
+def logger_norms_feasible(nx: int, ny: int) -> bool:
+    """The kernel tiles rows in multiples of 8 (Mosaic sublane alignment)
+    and covers nx exactly — a non-multiple-of-8 nx has no valid tiling, so
+    callers must use the jnp norm there (silently dropping the trailing
+    rows would corrupt the convergence gate)."""
+    return nx % 8 == 0 and nx >= 8
+
+
 def _pick_tb(nx: int, ny: int) -> int:
     """Largest multiple-of-8 row tile dividing nx with the four resident
     [2, tb, ny] operand tiles within a comfortable VMEM budget
-    (tb * ny <= 512k lanes ~= 8 MB per two-channel pair)."""
+    (tb * ny <= 512k lanes ~= 8 MB per two-channel pair). Requires
+    ``logger_norms_feasible(nx, ny)``."""
+    if not logger_norms_feasible(nx, ny):
+        raise ValueError(
+            f"logger_norms_pallas needs nx % 8 == 0, got nx={nx}; gate on "
+            "logger_norms_feasible and use ops.reduce.motion_norm instead"
+        )
     cap = max(8, (512 * 1024 // max(ny, 1)) // 8 * 8)
-    for cand in range(min(cap, nx), 7, -8):
+    for cand in range(min(cap, nx) // 8 * 8, 7, -8):
         if nx % cand == 0:
             return cand
     return 8

@@ -48,7 +48,7 @@ def _vmap_safe(cfg: RegConfig) -> RegConfig:
     always runs the jnp kernels, which batch cleanly. (Every Pallas tier
     is gated on ``use_pallas`` — ``pallas_block_elastic`` only activates
     under ``blockable`` — so clearing it is sufficient.)"""
-    if not cfg.use_pallas:
+    if not cfg.resolved_use_pallas:
         return cfg
     return dataclasses.replace(
         cfg, use_pallas=False, pallas_block_elastic=False
@@ -106,7 +106,7 @@ def _resolve_impl(cfg: RegConfig, impl: str) -> str:
     if impl != "auto":
         return impl
     cond_heavy = cfg.method in _COND_HEAVY and cfg.warp_halo > 0
-    return "map" if (cond_heavy or cfg.use_pallas) else "vmap"
+    return "map" if (cond_heavy or cfg.resolved_use_pallas) else "vmap"
 
 
 def register_batch(

@@ -75,6 +75,25 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
     device array that a later jit captures as a compile-request constant
     (256 MB at 8192^2 — the relay HTTP-413 trap, CLAUDE.md).
     """
+    solve = make_curvature_solve(nx, ny, alpha, tau, dtype, dct_impl)
+
+    def step(u: jnp.ndarray, d: Derivatives) -> jnp.ndarray:
+        f = lssd_force(d, u)
+        return solve(u - tau * f)
+
+    return step
+
+
+def make_curvature_solve(nx: int, ny: int, alpha: float, tau: float,
+                         dtype=jnp.float32, dct_impl: str = "auto"):
+    """The spectral half of the curvature step: ``rhs -> idct(dct(rhs) *
+    eig) / (4 nx ny)`` (reference OpticalFlowCurvature.cpp:144-167 minus
+    the force). Split out of ``make_curvature_step`` so the huge-grid
+    host-stepped driver can run force/rhs and the spectral solve as two
+    separate programs — at 16384^2 the combined program's intermediates
+    (rhs + spectrum + eigenvalue table + transform temporaries on top of
+    the persistent level state) exceed the 16 GB chip, while the split
+    with donated inputs fits (engine.registration._jitted_stepped)."""
     scale = 1.0 / (4.0 * nx * ny)
     if dct_impl == "auto":
         dct_impl = "split_high"
@@ -105,10 +124,8 @@ def make_curvature_step(nx: int, ny: int, alpha: float, tau: float,
         else:
             fwd, inv = dct2_fftw, idct2_fftw
 
-    def step(u: jnp.ndarray, d: Derivatives) -> jnp.ndarray:
-        f = lssd_force(d, u)
-        rhs = u - tau * f
+    def solve(rhs: jnp.ndarray) -> jnp.ndarray:
         spec = fwd(rhs) * eig[None]
         return inv(spec) * scale
 
-    return step
+    return solve

@@ -37,15 +37,70 @@ from opticalflow2d_tpu.ops.warp import (
 from opticalflow2d_tpu.solvers.base import derivatives, demons_force
 
 
-def logger_sums(u_new: jnp.ndarray, u_prev: jnp.ndarray) -> jnp.ndarray:
+def logger_sums(u_new: jnp.ndarray, u_prev: jnp.ndarray,
+                use_pallas: bool = False) -> jnp.ndarray:
     """Logger partial pair ``[sum |u_new - u_prev|, sum |u_prev|]`` (pixel
     magnitudes; reference src/Logger.cpp:30-60 tracks their ratio /N /N).
     Full-array order, so ``sums/N`` equals ``ops.reduce.motion_norm``
-    bitwise — the driver's error from these matches ``_rel_step_error``."""
+    bitwise — the driver's error from these matches ``_rel_step_error``.
+
+    With ``use_pallas``, extents past 8192 lanes dispatch to the Mosaic
+    norm kernel (``pallas_kernels.logger_norms``): the jnp sqrt+reduce
+    below is one of the 16384^2 remote-compile walls when it sits inside
+    an iteration loop (r8 probe_16384_i/j). <= 8192 stays bit-pinned jnp.
+    """
+    if use_pallas and max(u_prev.shape[1:]) > 8192:
+        from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+            logger_norms_feasible, logger_norms_pallas)
+
+        if logger_norms_feasible(*u_prev.shape[1:]):
+            return logger_norms_pallas(u_new, u_prev)
     diff = u_new - u_prev
     dsum = jnp.sum(jnp.sqrt(diff[0] ** 2 + diff[1] ** 2))
     psum = jnp.sum(jnp.sqrt(u_prev[0] ** 2 + u_prev[1] ** 2))
     return jnp.stack([dsum, psum])
+
+
+def expmap_identity_regime(sigma_i: float, sigma_x: float,
+                           maxabs_bug: bool = False) -> bool:
+    """True when the diffeomorphic exp map is the identity for EVERY
+    reachable correspondence field: the smoothed force magnitude is
+    bounded by ``sigma_x/(2*sigma_i)`` (AM-GM on the force denominator —
+    |c| = |diff||g| / (|g|^2 + (sigma_i/sigma_x)^2 diff^2); renormalized
+    Gaussian smoothing is a convex combination and preserves it), and for
+    bounds <= 0.5 the squaring count is 0 — the reference's nsquares == 0
+    early return (``src/Motion.cpp:257-260``). The diffeomorphic step is
+    then exactly the Thirion composition step. The 1.0001 factor guards
+    the boundary case where float rounding could push a measured maxabs
+    an ulp past an exactly-0.5 bound; ``maxabs_bug`` inflates the
+    measured value by up to sqrt(2) (y-component doubling), so bug-compat
+    configs are excluded."""
+    from opticalflow2d_tpu.ops.warp import static_expmap_nsq
+
+    return (not maxabs_bug and sigma_i > 0
+            and static_expmap_nsq(sigma_x / (2.0 * sigma_i) * 1.0001) == 0)
+
+
+def onepass_routed(sigma_i: float, sigma_x: float, kernelwidth: int,
+                   warp_halo: int, use_pallas: bool, diffeomorphic: bool,
+                   maxabs_bug: bool = False,
+                   conv_flatwrap: bool = False) -> bool:
+    """Whether ``make_demons_step`` routes to the one-pass kernel for
+    these parameters (shape feasibility is checked separately at trace
+    time). Exported so the huge-grid phased driver can tell which demons
+    configs have an in-program 16384^2 path (engine.registration)."""
+    from opticalflow2d_tpu.pallas_kernels.demons_onepass import (
+        onepass_supported,
+    )
+
+    return (
+        use_pallas
+        and warp_halo > 0
+        and not conv_flatwrap
+        and (not diffeomorphic
+             or expmap_identity_regime(sigma_i, sigma_x, maxabs_bug))
+        and onepass_supported(warp_halo, kernelwidth, sigma_i, sigma_x)
+    )
 
 
 def make_demons_step(
@@ -77,15 +132,15 @@ def make_demons_step(
         and not conv_flatwrap  # fused kernels implement the clipped smooth
         and fused_supported(warp_halo, kernelwidth)
     )
-    # Thirion-only single-pass kernel: the whole iteration in one HBM
-    # round trip (demons_onepass). Preferred over the two-kernel path
-    # wherever its static preconditions and shape tiers allow.
-    use_onepass = (
-        use_pallas
-        and warp_halo > 0
-        and not conv_flatwrap
-        and not diffeomorphic
-        and onepass_supported(warp_halo, kernelwidth, sigma_i, sigma_x)
+    # Single-pass kernel: the whole iteration in one HBM round trip
+    # (demons_onepass). Preferred over the two-kernel path wherever its
+    # static preconditions and shape tiers allow — for Thirion always,
+    # for diffeomorphic in the exp-map identity regime (where the two
+    # steps coincide, see expmap_identity_regime; this is also the only
+    # in-program 16384^2 demons path, RESULTS.md "16384^2").
+    use_onepass = onepass_routed(
+        sigma_i, sigma_x, kernelwidth, warp_halo, use_pallas,
+        diffeomorphic, maxabs_bug, conv_flatwrap,
     )
 
     if use_fused:
@@ -96,7 +151,10 @@ def make_demons_step(
     if use_onepass:
         onepass = _make_onepass_step(
             sigma_i, sigma_x, sigma_diffusion, sigma_fluid, kernelwidth,
-            accumulation, warp_halo, with_errors,
+            # Diffeomorphic demons always composes (DemonsDiffeomorphic.
+            # cpp:30-33); Thirion follows the configured accumulation.
+            MotionAccumulation.COMPOSITION if diffeomorphic else accumulation,
+            warp_halo, with_errors,
         )
 
     def step(u: jnp.ndarray, iref: jnp.ndarray, imov: jnp.ndarray):
@@ -107,24 +165,49 @@ def make_demons_step(
         if use_onepass and onepass_feasible(u.shape[1], u.shape[2],
                                             warp_halo, kernelwidth):
             return onepass(u, iref, imov)
+        huge = max(u.shape[1:]) > 8192
         u_prev = u
         if use_fused and fused_feasible(u.shape[1], u.shape[2], warp_halo):
             u = fused(u, iref, imov)
-            return (u, logger_sums(u, u_prev)) if with_errors else u
+            return (u, logger_sums(u, u_prev, use_pallas)) if with_errors else u
         iwar = warp2d(imov, u, warp_halo, use_pallas)
         d = derivatives(iref, iwar)
         c = demons_force(d, sigma_i, sigma_x)
         c = gaussian_smooth(c, sigma_fluid, kernelwidth, flatwrap=conv_flatwrap)
         if diffeomorphic:
+            static_nsq = None
+            if huge:
+                # >8192 lanes: the dynamic exp map's global maxabs feeding
+                # a data-dependent fori_loop trip count is a remote-compile
+                # wall (RESULTS.md "16384^2"); the squaring count comes
+                # from the static correspondence bound instead. c is the
+                # smoothed demons force, whose per-pixel MAGNITUDE (what
+                # motion_maxabs measures) obeys |c| = |diff||g| / (|g|^2 +
+                # (sigma_i/sigma_x)^2 diff^2) <= sigma_x/(2*sigma_i) by
+                # AM-GM (demons_onepass.py:33-46); renormalized Gaussian
+                # smoothing is a convex combination and preserves the
+                # bound. For bounds <= 0.5
+                # the static count is 0 — bit-identical to the dynamic map
+                # (see ops.warp.static_expmap_nsq).
+                if sigma_i <= 0:
+                    raise ValueError(
+                        "diffeomorphic demons past 8192 lanes needs "
+                        "sigma_i > 0: the exp map squaring count is bound "
+                        "statically by sigma_x/(2*sigma_i) there (the "
+                        "dynamic maxabs path does not compile at 16384^2)"
+                    )
+                from opticalflow2d_tpu.ops.warp import static_expmap_nsq
+
+                static_nsq = static_expmap_nsq(sigma_x / (2.0 * sigma_i))
             c = expmap(c, maxabs_bug=maxabs_bug, halo=warp_halo,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, static_nsq=static_nsq)
             u = compose(u, c, warp_halo, use_pallas)
         elif accumulation == MotionAccumulation.COMPOSITION:
             u = compose(u, c, warp_halo, use_pallas)
         else:
             u = u + c
         u = gaussian_smooth(u, sigma_diffusion, kernelwidth, flatwrap=conv_flatwrap)
-        return (u, logger_sums(u, u_prev)) if with_errors else u
+        return (u, logger_sums(u, u_prev, use_pallas)) if with_errors else u
 
     return step
 
@@ -221,7 +304,10 @@ def _make_fused_step(
     # the displacement beyond the force bound.
     import math as _math
 
-    halo_c = (halo if diffeomorphic
+    # sigma_i <= 0 has no finite force bound (the reference divides by it,
+    # DemonsThirions.cpp:24 — the force is then unbounded/NaN-guarded), so
+    # keep the full halo instead of dividing by zero at trace time.
+    halo_c = (halo if diffeomorphic or sigma_i <= 0
               else min(halo, max(1, _math.ceil(sigma_x / (2.0 * sigma_i)))))
 
     def exact_corr(args):

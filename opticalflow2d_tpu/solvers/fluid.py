@@ -60,10 +60,20 @@ def make_fluid_step(
             fluid_feasible, fluid_iter_pallas)
 
     def step(
-        u: jnp.ndarray, velocity: jnp.ndarray, d: Derivatives
+        u: jnp.ndarray, velocity: jnp.ndarray, d
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        # ``d`` is either a Derivatives pair or the prestacked ``[3, nx,
+        # ny]`` plane the fused kernel consumes directly. The host-stepped
+        # huge-grid driver passes the stacked form: re-stacking per
+        # iteration materializes 3 GB at 16384^2, a third of the OOM
+        # margin there.
+        prestacked = not isinstance(d, Derivatives)
+        if prestacked:
+            g_stack = d
+            d = Derivatives(g_stack[:2], g_stack[2])
         if use_fused and fluid_feasible(u.shape[1], u.shape[2]):
-            g = jnp.concatenate([d.grad_i, d.it[None]], axis=0)
+            g = (g_stack if prestacked
+                 else jnp.concatenate([d.grad_i, d.it[None]], axis=0))
             velocity, r, maxsq = fluid_iter_pallas(
                 u, velocity, g, mu, lam, omega, reference_stencil,
                 maxabs_bug,

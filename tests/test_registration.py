@@ -352,3 +352,224 @@ def test_register_phased_auto_halo_and_warm_start():
     np.testing.assert_allclose(
         np.asarray(b2.motion), np.asarray(a2.motion), rtol=1e-5, atol=1e-6
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5: host-stepped level driver, static exp map, warm phased
+# continuation (VERDICT r4 tasks 3/4/5)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method,kw", ALL_METHODS,
+                         ids=[m.name for m, _ in ALL_METHODS])
+def test_stepped_level_matches_monolithic(method, kw):
+    """_solve_level_stepped (the huge-grid host-stepped driver: one
+    program per iteration, Logger/regrid control on the host) must
+    reproduce the monolithic level solve for every family — same fields,
+    iteration counts, error traces, regrid events."""
+    from opticalflow2d_tpu.engine.registration import (
+        _solve_level,
+        _solve_level_stepped,
+    )
+
+    iref, imov = make_pair(48, 40, shift=(2.2, -1.4))
+    iref = jnp.asarray(iref, jnp.float32)
+    imov = jnp.asarray(imov, jnp.float32)
+    cfg = RegConfig(method=method, niter=(8,), nscales=0, nrefine=2, **kw)
+    u0 = jnp.zeros((2, 48, 40), jnp.float32)
+    ua, ta = _solve_level(u0, iref, imov, cfg, 8, 0)
+    ub, tb = _solve_level_stepped(u0, iref, imov, cfg, 8, 0)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ua),
+                               rtol=1e-5, atol=1e-6)
+    assert len(ta) == len(tb) == cfg.nrefine
+    for x, y in zip(ta, tb):
+        assert int(x.iterations) == int(y.iterations)
+        assert int(x.regrids) == int(y.regrids)
+        np.testing.assert_allclose(np.asarray(y.errors), np.asarray(x.errors),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_stepped_fluid_regrid_events_match():
+    """Force regridding (threshold above 1 fires the predicate on any
+    contracting estimate) and pin that the host-boundary regrid of the
+    stepped driver reproduces the in-loop lax.cond regrid exactly."""
+    from opticalflow2d_tpu.engine.registration import (
+        _solve_level,
+        _solve_level_stepped,
+    )
+
+    iref, imov = make_pair(48, 40, shift=(2.5, -1.6))
+    iref = jnp.asarray(iref, jnp.float32)
+    imov = jnp.asarray(imov, jnp.float32)
+    cfg = RegConfig(method=Method.FLUID, mu=0.25, lam=0.0, niter=(8,),
+                    nscales=0, warp_halo=0, warp_halo_outer=0,
+                    regrid_threshold=0.999)
+    u0 = jnp.zeros((2, 48, 40), jnp.float32)
+    ua, ta = _solve_level(u0, iref, imov, cfg, 8, 0)
+    ub, tb = _solve_level_stepped(u0, iref, imov, cfg, 8, 0)
+    assert int(ta[0].regrids) > 0, "setup failed to trigger a regrid"
+    assert int(tb[0].regrids) == int(ta[0].regrids)
+    assert int(tb[0].iterations) == int(ta[0].iterations)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ua),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_expmap_static_nsq():
+    """Static-count exp map (ops.warp.expmap(static_nsq=...)): the count
+    formula, the identity regime (bound <= 0.5, bit-identical to the
+    dynamic map), and bit-equality when the static and dynamic counts
+    coincide."""
+    from opticalflow2d_tpu.ops.warp import expmap, static_expmap_nsq
+
+    assert static_expmap_nsq(0.0) == 0
+    assert static_expmap_nsq(0.125) == 0
+    assert static_expmap_nsq(0.5) == 0
+    assert static_expmap_nsq(0.6) == 1
+    assert static_expmap_nsq(1.0) == 1
+    assert static_expmap_nsq(2.0) == 2
+    assert static_expmap_nsq(6.0) == 4
+
+    # maxabs is the max per-pixel MAGNITUDE (ops.reduce.motion_maxabs),
+    # so the bounds below are magnitude bounds.
+    rng = np.random.default_rng(7)
+
+    def bounded_field(lo, hi):
+        ang = rng.uniform(0, 2 * np.pi, (24, 20))
+        mag = rng.uniform(lo, hi, (24, 20))
+        return jnp.asarray(
+            np.stack([mag * np.cos(ang), mag * np.sin(ang)]), jnp.float32)
+
+    small = bounded_field(0.0, 0.45)
+    np.testing.assert_array_equal(
+        np.asarray(expmap(small, static_nsq=0)), np.asarray(small))
+    np.testing.assert_array_equal(
+        np.asarray(expmap(small)), np.asarray(small))
+
+    big = bounded_field(0.55, 0.95)
+    # dynamic maxabs in (0.5, 1] -> nsq 1; static bound 1.0 -> nsq 1. Same
+    # count and same math; only op-fusion differs (the dynamic path's
+    # fori_loop body is compiled, the static unroll here runs eagerly),
+    # so equality is to float-fusion tolerance rather than bitwise.
+    assert 0.5 < float(jnp.max(jnp.sqrt(big[0] ** 2 + big[1] ** 2))) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(expmap(big)),
+        np.asarray(expmap(big, static_nsq=static_expmap_nsq(1.0))),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_register_phased_warm_coarse_matches_register():
+    """register_phased(initial_coarse_motion=...) — the reference's
+    repeated-register continuation on the phased driver (VERDICT r4 #5,
+    WrapperOpticalFlow2d.cpp:86-102) — must match the monolithic warm
+    path and discriminate from a cold run."""
+    from opticalflow2d_tpu.engine.registration import register_phased
+
+    iref, imov = make_pair(64, 48, shift=(1.5, -0.9))
+    cfg = RegConfig(method=Method.DIFFUSION, alpha=0.5, niter=(6, 4),
+                    nscales=1, warp_halo=0, warp_halo_outer=0,
+                    warp_halo_auto=False)
+    first = register(iref, imov, cfg)
+    warm_m = register(iref, imov, cfg,
+                      initial_coarse_motion=first.coarse_motion)
+    warm_p = register_phased(iref, imov, cfg,
+                             initial_coarse_motion=first.coarse_motion)
+    np.testing.assert_allclose(np.asarray(warm_p.motion),
+                               np.asarray(warm_m.motion),
+                               rtol=1e-5, atol=1e-6)
+    cold = register_phased(iref, imov, cfg)
+    assert not np.allclose(np.asarray(warm_p.motion),
+                           np.asarray(cold.motion), atol=1e-4), \
+        "warm continuation must differ from a cold run"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        register_phased(iref, imov, cfg, initial_motion=first.motion,
+                        initial_coarse_motion=first.coarse_motion)
+    with pytest.raises(ValueError, match="coarsest level"):
+        register_phased(iref, imov, cfg,
+                        initial_coarse_motion=first.motion)
+
+
+def test_session_persistent_motion_huge_grid():
+    """ADVICE r4: a persistent_motion session on a >8192 grid must route
+    BOTH the cold and the warm register() through the phased driver (the
+    monolithic one cannot compile at 16384^2 on the real backend) and
+    reproduce the reference's warm-continuation semantics."""
+    nx, ny = 8256, 24  # extent > 8192 trips the phased dispatch; thin keeps CPU cost trivial
+    iref, imov = make_pair(nx, ny, shift=(1.0, 0.5))
+    sess = OpticalFlow2d(
+        (nx, ny), (2, 2), 1, Method.DIFFUSION, [0.5],
+        compat=CompatFlags(persistent_motion=True),
+        warp_halo=0, warp_halo_outer=0, warp_halo_auto=False,
+    )
+    sess.register(iref, imov)
+    m1 = sess.get_motion()
+    sess.register(iref, imov)
+    m2 = sess.get_motion()
+    assert not np.allclose(m1, m2, atol=1e-6), \
+        "second call must continue, not repeat"
+
+    cfg = sess.config
+    mono1 = register(iref, imov, cfg)
+    mono2 = register(iref, imov, cfg,
+                     initial_coarse_motion=mono1.coarse_motion)
+    np.testing.assert_allclose(
+        m2, np.moveaxis(np.asarray(mono2.motion), 0, -1),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_phased_huge_extent_stepped_families_cpu():
+    """Thin >8192-extent grids drive the stepped-dispatch families
+    (curvature / fluid / diffeomorphic demons — VERDICT r4 tasks 2-4)
+    end-to-end on CPU, including the static exp map's huge-extent gate."""
+    from opticalflow2d_tpu.engine.registration import register_phased
+
+    nx, ny = 8224, 16
+    iref, imov = make_pair(nx, ny, shift=(1.0, 0.4))
+    for method, kw in [
+        (Method.FLUID, dict(mu=0.25, lam=0.0)),
+        (Method.DIFFEOMORPHIC_DEMONS, {}),
+    ]:
+        cfg = RegConfig(method=method, niter=(2, 2), nscales=1,
+                        warp_halo=0, warp_halo_outer=0,
+                        warp_halo_auto=False, **kw)
+        res = register_phased(iref, imov, cfg)
+        assert np.isfinite(np.asarray(res.motion)).all(), method
+        assert res.motion.shape == (2, nx, ny)
+
+
+def test_diffeo_identity_regime_equals_thirion_composition():
+    """With |smoothed force| <= sigma_x/(2 sigma_i) <= 0.5 the exp map is
+    the identity for every field (the reference's nsquares == 0 early
+    return, Motion.cpp:257-260), so diffeomorphic demons IS Thirion with
+    COMPOSITION accumulation — the equivalence the one-pass routing of
+    solvers.demons.onepass_routed relies on. Pinned bitwise on the jnp
+    path."""
+    from opticalflow2d_tpu.config import MotionAccumulation
+    from opticalflow2d_tpu.solvers.demons import (
+        expmap_identity_regime,
+        make_demons_step,
+    )
+
+    assert expmap_identity_regime(1.0, 0.25)
+    assert expmap_identity_regime(1.0, 0.99)       # bound 0.495
+    # bound exactly 0.5 is excluded by the float-rounding guard margin
+    assert not expmap_identity_regime(1.0, 1.0)
+    assert not expmap_identity_regime(1.0, 1.2)    # bound 0.6 -> nsq 1
+    assert not expmap_identity_regime(1.0, 0.25, maxabs_bug=True)
+    assert not expmap_identity_regime(0.0, 0.25)
+
+    iref, imov = make_pair(48, 40, shift=(1.8, -1.1))
+    iref = jnp.asarray(iref, jnp.float32)
+    imov = jnp.asarray(imov, jnp.float32)
+    kw = dict(sigma_i=1.0, sigma_x=0.25, sigma_diffusion=2.0,
+              sigma_fluid=2.0, kernelwidth=5, warp_halo=0)
+    step_d = make_demons_step(diffeomorphic=True,
+                              accumulation=MotionAccumulation.ADDITION, **kw)
+    step_t = make_demons_step(diffeomorphic=False,
+                              accumulation=MotionAccumulation.COMPOSITION,
+                              **kw)
+    u = jnp.zeros((2, 48, 40), jnp.float32)
+    for _ in range(5):
+        ud = step_d(u, iref, imov)
+        ut = step_t(u, iref, imov)
+        np.testing.assert_array_equal(np.asarray(ud), np.asarray(ut))
+        u = ud
