@@ -56,10 +56,13 @@ def main():
         fh.write(json.dumps(row) + "\n")
         fh.flush()
 
+    only = set(sys.argv[1:])
     iref, imov = make_pair_16k()
     ssd0 = float(jnp.sum((iref - imov) ** 2))
 
     for name, kw in FAMILIES:
+        if only and name not in only:
+            continue
         kw = dict(kw)
         method = Method[kw.pop("method")]
         cfg = RegConfig(method=method, niter=(25, 25, 25), nscales=2, **kw)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from opticalflow2d_tpu.config import Method, RegConfig
+from opticalflow2d_tpu.config import Method, MotionAccumulation, RegConfig
 from opticalflow2d_tpu.ops.grid import jacobian_det
 from opticalflow2d_tpu.ops.reduce import motion_norm
 from opticalflow2d_tpu.ops.resample import (
@@ -617,81 +617,172 @@ def _jitted_stepped(cfg: RegConfig):
         return u_new, _rel_step_error(u_new, u_est, up)
 
     def curv_rhs(u_est, grad_i, it_img):
-        # Curvature iteration, program 1 of 2: force + rhs. Split from the
-        # spectral solve so their intermediates never coexist — the
-        # one-program curvature iteration OOMs a 16 GB chip at 16384^2
-        # (r9_results.jsonl); u_est is NOT donated here (the convergence
-        # error needs it in program 2).
+        # Curvature iteration, program 1 of 4: force + rhs, emitted as
+        # separate per-component planes. The iteration is split so the
+        # spectral intermediates never coexist with each other or with
+        # the force temporaries — the one-program curvature iteration
+        # OOMs a 16 GB chip at 16384^2 (r9_results.jsonl), and the DCT
+        # is per-plane separable, so each component solves alone at half
+        # the spectral residency. u_est is NOT donated (the convergence
+        # error needs it in the finish program).
         d = Derivatives(grad_i, it_img)
         from opticalflow2d_tpu.solvers.base import lssd_force
 
-        return u_est - cfg.tau * lssd_force(d, u_est)
+        rhs = u_est - cfg.tau * lssd_force(d, u_est)
+        return rhs[0], rhs[1]
 
-    def curv_solve(rhs, u_est):
-        # Program 2 of 2: spectral solve + Logger error; rhs and u_est
-        # both donated (the host drops both handles after this call).
+    def curv_solve_c(rhs_c):
+        # Programs 2-3 of 4: the spectral solve of ONE component
+        # (donated). Per-plane identical to the 2-channel solve — the
+        # transform matmuls batch over the leading axis.
         from opticalflow2d_tpu.solvers.curvature import make_curvature_solve
 
-        solve = make_curvature_solve(*rhs.shape[1:], cfg.alpha, cfg.tau,
+        solve = make_curvature_solve(*rhs_c.shape, cfg.alpha, cfg.tau,
                                      cfg.jnp_dtype, cfg.resolved_dct_impl)
-        u_new = solve(rhs)
+        return solve(rhs_c[None])[0]
+
+    def curv_finish(u_x, u_y, u_est):
+        # Program 4 of 4: reassemble + Logger error (u_x/u_y/u_est all
+        # donated; the host drops every handle).
+        u_new = jnp.stack([u_x, u_y])
         return u_new, _rel_step_error(u_new, u_est, up)
 
-    def demons_step(u_est, iref, iaux):
-        step = make_demons_step(
-            cfg.sigma_i, cfg.sigma_x, cfg.sigma_diffusion, cfg.sigma_fluid,
-            cfg.kernelwidth,
-            diffeomorphic=(cfg.method == Method.DIFFEOMORPHIC_DEMONS),
-            accumulation=cfg.accumulation,
-            conv_flatwrap=cfg.compat.conv_flatwrap,
-            maxabs_bug=cfg.compat.maxabs_bug,
-            warp_halo=cfg.warp_halo,
-            use_pallas=up,
-            with_errors=True,
-        )
+    # --- split demons programs (dynamic-exp-map diffeo on huge grids) ---
+    # A single-program demons iteration holds warp + derivative + force +
+    # smooth temporaries at once and would run the exp map's global
+    # maxabs + data-dependent fori_loop in-program — both unworkable at
+    # 16384^2 (HBM residency; remote-compile walls). The split runs the
+    # reference loop at program granularity: correspondence program, ONE
+    # scalar maxabs readback, nsq host-counted squaring programs (the
+    # EXACT dynamic semantics of Motion.cpp:253-277 — the host computes
+    # ceil(1+log2(maxabs)) in double just like the C++), then the
+    # accumulate+smooth program with in-program Logger sums. (Demons
+    # configs with a one-pass tier never reach this driver —
+    # register_phased keeps them on the in-program level solve.)
+
+    def demons_corr(u_est, iref, iaux):
+        from opticalflow2d_tpu.ops.conv import gaussian_smooth
+        from opticalflow2d_tpu.solvers.base import demons_force
+
         fb = jnp.int32(0)
         if cfg.warp_halo > 0:
             px, py = _sample_coords(u_est)
             fb = (~_displacement_bounded(
                 iaux[None], px, py, cfg.warp_halo)).astype(jnp.int32)
-        u_new, sums = step(u_est, iref, iaux)
+        iwar = warp2d(iaux, u_est, cfg.warp_halo, up)
+        d = derivatives(iref, iwar)
+        c = demons_force(d, cfg.sigma_i, cfg.sigma_x)
+        c = gaussian_smooth(c, cfg.sigma_fluid, cfg.kernelwidth,
+                            flatwrap=cfg.compat.conv_flatwrap)
+        return c, fb
+
+    def demons_maxabs(c):
+        from opticalflow2d_tpu.ops.reduce import motion_maxabs
+
+        return motion_maxabs(c, bug=cfg.compat.maxabs_bug)
+
+    def demons_scale(c, s):
+        return c * s
+
+    def demons_square(v):
+        return compose(v, v, cfg.warp_halo, up)
+
+    def demons_update(u_est, c):
+        from opticalflow2d_tpu.ops.conv import gaussian_smooth
+        from opticalflow2d_tpu.solvers.demons import logger_sums
+
+        diffeo = cfg.method == Method.DIFFEOMORPHIC_DEMONS
+        if diffeo or cfg.accumulation == MotionAccumulation.COMPOSITION:
+            u_new = compose(u_est, c, cfg.warp_halo, up)
+        else:
+            u_new = u_est + c
+        u_new = gaussian_smooth(u_new, cfg.sigma_diffusion, cfg.kernelwidth,
+                                flatwrap=cfg.compat.conv_flatwrap)
+        sums = logger_sums(u_new, u_est, up)
         n_pix = u_est.shape[1] * u_est.shape[2]
         dn = sums[0] / n_pix
         pn = sums[1] / n_pix
         err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
-        return u_new, err, fb
+        return u_new, err
 
-    def _fluid_step_impl(u_est, prev, vel, g):
-        spectral_solve = None
-        nx, ny = u_est.shape[1:]
-        if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
-            spectral_solve = _make_navier_lame_spectral(cfg, nx, ny)
-        step = make_fluid_step(
-            cfg.mu, cfg.lam, cfg.omega,
-            dumax=cfg.dumax,
-            timestep_skip=cfg.timestep_skip,
-            maxabs_bug=cfg.compat.maxabs_bug,
-            reference_stencil=cfg.compat.elastic_stencil_reference,
-            sor_ordering=cfg.sor_ordering,
-            spectral_solve=spectral_solve,
-            use_pallas=up,
-        )
-        u_new, vel, _dt = step(u_est, vel, g)  # g prestacked [3, nx, ny]
-        err = _rel_step_error(u_new, prev, up)
-        jac_min = jnp.min(jacobian_det(u_new))
-        return u_new, vel, err, jac_min
+    def fluid_kernel(u_est, vel, g):
+        # Fluid iteration, program 1 of 2: force + SOR sweep + material
+        # derivative + maxabs (the fused Pallas kernel where a tier
+        # exists, the jnp chain otherwise — exactly make_fluid_step's
+        # dispatch, reference OpticalFlowFluid.cpp:123-140). Split from
+        # the Euler/Logger/Jacobian tail so the tail's temporaries never
+        # coexist with the sweep's (HBM residency at 16384^2).
+        from opticalflow2d_tpu.ops.grid import partial_x, partial_y
+        from opticalflow2d_tpu.ops.reduce import motion_maxabs
+        from opticalflow2d_tpu.solvers.base import lssd_force
+        from opticalflow2d_tpu.solvers.elastic import sor_sweep
 
-    def fluid_step(u_est, vel, g):
+        d = Derivatives(g[:2], g[2])
+        use_fused = (up and cfg.navier_lame_solver == "sor"
+                     and cfg.sor_ordering == "redblack")
+        if use_fused:
+            from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
+                fluid_feasible, fluid_iter_pallas)
+
+            use_fused = fluid_feasible(*u_est.shape[1:])
+        if use_fused:
+            vel, r, maxsq = fluid_iter_pallas(
+                u_est, vel, g, cfg.mu, cfg.lam, cfg.omega,
+                cfg.compat.elastic_stencil_reference, cfg.compat.maxabs_bug,
+            )
+            m = jnp.sqrt(maxsq)
+        else:
+            f = lssd_force(d, u_est)
+            if cfg.navier_lame_solver in ("spectral", "spectral_dirichlet"):
+                vel = _make_navier_lame_spectral(cfg, *u_est.shape[1:])(f)
+            else:
+                vel = sor_sweep(vel, f, cfg.mu, cfg.lam, cfg.omega,
+                                cfg.compat.elastic_stencil_reference,
+                                cfg.sor_ordering)
+            dudx = partial_x(u_est)
+            dudy = partial_y(u_est)
+            r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+            m = motion_maxabs(r, bug=cfg.compat.maxabs_bug)
+        return vel, r, m
+
+    def _fluid_tail_impl(u_est, prev, r, m):
+        # Program 2 of 2: adaptive Euler step + Logger error + regrid
+        # predicate (same expressions as solvers.fluid.make_fluid_step's
+        # tail and the monolithic driver's jacobian check).
+        from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+            fluid_metrics_pallas, logger_norms_feasible)
+
+        dt = cfg.dumax / m
+        do_step = dt < cfg.timestep_skip
+        u_new = jnp.where(do_step,
+                          u_est + r * jnp.where(do_step, dt, 0.0), u_est)
+        if (up and max(u_est.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT
+                and logger_norms_feasible(*u_est.shape[1:])):
+            # One Mosaic pass for the norm pair + jacobian min: the jnp
+            # jacobian's four gradient planes (~5 GB at 16384^2) are the
+            # difference between fitting HBM and OOM. Values match the
+            # jnp chain (see fluid_metrics_pallas).
+            sums, jac_min = fluid_metrics_pallas(u_new, prev)
+            n_pix = u_est.shape[1] * u_est.shape[2]
+            dn = sums[0] / n_pix
+            pn = sums[1] / n_pix
+            err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+        else:
+            err = _rel_step_error(u_new, prev, up)
+            jac_min = jnp.min(jacobian_det(u_new))
+        return u_new, err, jac_min
+
+    def fluid_tail(u_est, r, m):
         # Common-path variant: the Logger prev IS the step input (the
-        # last logged estimate) except for the one iteration right after
-        # a regrid — so u_est can be donated here.
-        return _fluid_step_impl(u_est, u_est, vel, g)
+        # last logged estimate) except right after a regrid — u_est and
+        # r are donated (the host drops both handles).
+        return _fluid_tail_impl(u_est, u_est, r, m)
 
-    def fluid_step_postregrid(u_est, prev, vel, g):
+    def fluid_tail_postregrid(u_est, prev, r, m):
         # Right after a regrid u_est was zeroed but the Logger prev keeps
         # the pre-regrid estimate (the Logger lives outside the regrid
         # block, ImageRegistrationFluid.cpp:99-124).
-        return _fluid_step_impl(u_est, prev, vel, g)
+        return _fluid_tail_impl(u_est, prev, r, m)
 
     def compose_outer(u, u_est):
         return compose(u, u_est, ho, up)
@@ -722,10 +813,16 @@ def _jitted_stepped(cfg: RegConfig):
         "warp_outer": jax.jit(warp_outer),
         "var_step": jax.jit(var_step, donate_argnums=(0,)),
         "curv_rhs": jax.jit(curv_rhs),
-        "curv_solve": jax.jit(curv_solve, donate_argnums=(0, 1)),
-        "demons_step": jax.jit(demons_step, donate_argnums=(0,)),
-        "fluid_step": jax.jit(fluid_step, donate_argnums=(0, 1)),
-        "fluid_step_postregrid": jax.jit(fluid_step_postregrid,
+        "curv_solve_c": jax.jit(curv_solve_c, donate_argnums=(0,)),
+        "curv_finish": jax.jit(curv_finish, donate_argnums=(0, 1, 2)),
+        "demons_corr": jax.jit(demons_corr),
+        "demons_maxabs": jax.jit(demons_maxabs),
+        "demons_scale": jax.jit(demons_scale, donate_argnums=(0,)),
+        "demons_square": jax.jit(demons_square, donate_argnums=(0,)),
+        "demons_update": jax.jit(demons_update, donate_argnums=(0, 1)),
+        "fluid_kernel": jax.jit(fluid_kernel, donate_argnums=(1,)),
+        "fluid_tail": jax.jit(fluid_tail, donate_argnums=(0, 1)),
+        "fluid_tail_postregrid": jax.jit(fluid_tail_postregrid,
                                          donate_argnums=(0, 2)),
         "compose_outer": jax.jit(compose_outer, donate_argnums=(0,)),
         "fluid_regrid": jax.jit(fluid_regrid, donate_argnums=(0,)),
@@ -773,23 +870,45 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
         u_tot_level = u  # fluid: regridding folds into the level total
         while it < niter:
             if demons:
-                u_new, err, fb = fns["demons_step"](u_est, iref, iaux)
+                # Split programs (see demons_corr): correspondence, then
+                # for diffeo the reference's DYNAMIC exp map at program
+                # granularity — one scalar maxabs readback, the squaring
+                # count computed on the host exactly as Motion.cpp:
+                # 265-268 does, nsq compose programs — then the
+                # accumulate+smooth program with in-program Logger sums.
+                c, fb = fns["demons_corr"](u_est, iref, iaux)
                 nfb += int(fb)
+                if cfg.method == Method.DIFFEOMORPHIC_DEMONS:
+                    import math as _m
+
+                    mval = float(fns["demons_maxabs"](c))
+                    nsq = (max(0, _m.ceil(1.0 + _m.log2(mval)))
+                           if mval > 0 else 0)
+                    if nsq > 0:
+                        c = fns["demons_scale"](c, 2.0 ** -nsq)
+                        for _sq in range(nsq):
+                            c = fns["demons_square"](c)
+                u_new, err = fns["demons_update"](u_est, c)
+                del c
             elif fluid:
+                velocity, r_inc, m = fns["fluid_kernel"](u_est, velocity, g)
                 if prev_sep is None:
-                    u_new, velocity, err, jac_min = fns["fluid_step"](
-                        u_est, velocity, g)
+                    u_new, err, jac_min = fns["fluid_tail"](u_est, r_inc, m)
                 else:
-                    u_new, velocity, err, jac_min = fns[
-                        "fluid_step_postregrid"](
-                        u_est, prev_sep, velocity, g)
+                    u_new, err, jac_min = fns["fluid_tail_postregrid"](
+                        u_est, prev_sep, r_inc, m)
                     prev_sep = None
+                del r_inc
             elif cfg.method == Method.CURVATURE:
-                # Two programs per iteration (see curv_rhs/curv_solve):
-                # the split is what fits curvature in HBM at 16384^2.
-                rhs = fns["curv_rhs"](u_est, grad_i, it_img)
-                u_new, err = fns["curv_solve"](rhs, u_est)
-                del rhs
+                # Four programs per iteration (rhs | per-component
+                # spectral solves | finish): the split is what fits
+                # curvature in HBM at 16384^2 (see curv_rhs).
+                rhs_x, rhs_y = fns["curv_rhs"](u_est, grad_i, it_img)
+                u_x = fns["curv_solve_c"](rhs_x)
+                u_y = fns["curv_solve_c"](rhs_y)
+                del rhs_x, rhs_y
+                u_new, err = fns["curv_finish"](u_x, u_y, u_est)
+                del u_x, u_y
             else:
                 u_new, err = fns["var_step"](u_est, grad_i, it_img)
             err_f = float(err)

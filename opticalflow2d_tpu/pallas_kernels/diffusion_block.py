@@ -45,7 +45,8 @@ def stack_derivs(grad_i: jnp.ndarray, it_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, alpha: float,
-                k: int, tb: int, pad: int, nx: int, with_errors: bool):
+                k: int, tb: int, pad: int, nx: int, with_errors: bool,
+                err_mode: str = "sqrt"):
     """k diffusion iterations on one extended tile ``c [2, e, ny]`` with
     force terms ``g [3, e, ny]``; ``gi0`` is the global row index of tile
     row 0 (traced scalar ok). Writes the interior to ``out_ref`` and, with
@@ -91,10 +92,21 @@ def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, alpha: float,
             prev_i = c[:, pad:pad + tb, :]
             new_i = c_new[:, pad:pad + tb, :]
             diff = new_i - prev_i
-            dsum = jnp.sum(jnp.sqrt(diff[0] ** 2 + diff[1] ** 2),
-                           axis=0, keepdims=True)
-            psum = jnp.sum(jnp.sqrt(prev_i[0] ** 2 + prev_i[1] ** 2),
-                           axis=0, keepdims=True)
+            # err_mode decomposes the Logger tax for the r9 roofline
+            # study (benchmarks/r9_logger_tax.py): "sqrt" is the exact
+            # Logger magnitude (production), "rsqrt" the same value via
+            # x*rsqrt(x) (candidate cheaper lowering), "nosqrt" a
+            # diagnostic-only sum of squares that bounds the sqrt share.
+            if err_mode == "nosqrt":
+                mag = lambda a, b: a * a + b * b
+            elif err_mode == "rsqrt":
+                def mag(a, b):
+                    sq = a * a + b * b
+                    return jnp.where(sq > 0, sq * lax.rsqrt(sq), 0.0)
+            else:
+                mag = lambda a, b: jnp.sqrt(a * a + b * b)
+            dsum = jnp.sum(mag(diff[0], diff[1]), axis=0, keepdims=True)
+            psum = jnp.sum(mag(prev_i[0], prev_i[1]), axis=0, keepdims=True)
             acc_diff = jnp.where(acc_rows == t, dsum, acc_diff)
             acc_prev = jnp.where(acc_rows == t, psum, acc_prev)
         c = c_new
@@ -107,7 +119,8 @@ def _block_body(c, g, gi0, out_ref, diff_ref, prev_ref, *, alpha: float,
 
 def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
                   out_ref, diff_ref, prev_ref, *, alpha: float, k: int,
-                  tb: int, pad: int, nx: int, with_errors: bool):
+                  tb: int, pad: int, nx: int, with_errors: bool,
+                  err_mode: str = "sqrt"):
     i = pl.program_id(0)
     # Extended tile: pad halo rows above + center + pad halo rows below.
     # (Sublane-dim concat; Mosaic only rejects lane-dim concat.)
@@ -119,7 +132,7 @@ def _block_kernel(u_c_ref, u_up_ref, u_dn_ref, g_c_ref, g_up_ref, g_dn_ref,
     )  # [3, e, ny]
     _block_body(c, g, i * tb - pad, out_ref, diff_ref, prev_ref,
                 alpha=alpha, k=k, tb=tb, pad=pad, nx=nx,
-                with_errors=with_errors)
+                with_errors=with_errors, err_mode=err_mode)
 
 
 def _strip_kernel(scal_ref, u_pad_hbm, g_pad_hbm, out_ref, diff_ref,
@@ -205,10 +218,11 @@ def _pick_tiles(nx: int, k: int, tb: int | None, ny: int = 1024,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("alpha", "k", "tb", "with_errors")
+    jax.jit, static_argnames=("alpha", "k", "tb", "with_errors", "err_mode")
 )
 def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
-                           tb: int | None = None, with_errors: bool = True):
+                           tb: int | None = None, with_errors: bool = True,
+                           err_mode: str = "sqrt"):
     """Run ``k`` diffusion iterations in one fused HBM pass.
 
     ``g`` is ``stack_derivs(grad_i, it)``. Returns ``(u_k, sums)`` where
@@ -256,7 +270,7 @@ def diffusion_block_pallas(u, g, alpha: float, k: int = 8,
     )
     kernel = functools.partial(
         _block_kernel, alpha=alpha, k=k, tb=tb, pad=pad, nx=nx,
-        with_errors=with_errors,
+        with_errors=with_errors, err_mode=err_mode,
     )
     u_k, diff_p, prev_p = pl.pallas_call(
         kernel,

@@ -704,3 +704,31 @@ def test_logger_norms_pallas_matches_jnp(rng):
     assert has_pallas(16384, True)
     assert not has_pallas(16384, False)
     assert not has_pallas(1024, True)
+
+
+def test_fluid_metrics_pallas_matches_jnp():
+    """fluid_metrics_pallas (Logger sums + jacobian min in one Mosaic
+    pass — the 16384^2 fluid tail) must bit-match the jnp chain: same
+    row-partial sum scheme as logger_norms_pallas, identical jacobian
+    stencil expressions, association-exact min."""
+    import numpy as np
+    from opticalflow2d_tpu.ops.grid import jacobian_det
+    from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+        fluid_metrics_pallas,
+        logger_norms_pallas,
+    )
+
+    rng = np.random.default_rng(21)
+    for nx, ny in ((64, 128), (40, 256)):
+        u_new = jnp.asarray(
+            np.tanh(rng.standard_normal((2, nx, ny))).astype(np.float32) * 1.3)
+        u_prev = jnp.asarray(
+            np.tanh(rng.standard_normal((2, nx, ny))).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            sums, jac_min = fluid_metrics_pallas(u_new, u_prev)
+            sums_ref = logger_norms_pallas(u_new, u_prev)
+        np.testing.assert_array_equal(np.asarray(sums), np.asarray(sums_ref))
+        want_jac = float(jnp.min(jacobian_det(u_new)))
+        # the det's a*b - c*d contracts (FMA) differently between the two
+        # programs -> ~1 ulp; the regrid threshold compare is insensitive
+        assert abs(float(jac_min) - want_jac) <= 2e-6 * max(1.0, abs(want_jac))
