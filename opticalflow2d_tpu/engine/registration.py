@@ -616,25 +616,29 @@ def _jitted_stepped(cfg: RegConfig):
         u_new = step(u_est, d)
         return u_new, _rel_step_error(u_new, u_est, up)
 
-    def curv_rhs(u_est, grad_i, it_img):
-        # Curvature iteration, program 1 of 4: force + rhs, emitted as
-        # separate per-component planes. The iteration is split so the
-        # spectral intermediates never coexist with each other or with
-        # the force temporaries — the one-program curvature iteration
-        # OOMs a 16 GB chip at 16384^2 (r9_results.jsonl), and the DCT
-        # is per-plane separable, so each component solves alone at half
-        # the spectral residency. u_est is NOT donated (the convergence
-        # error needs it in the finish program).
-        d = Derivatives(grad_i, it_img)
-        from opticalflow2d_tpu.solvers.base import lssd_force
+    def _curv_rhs_c(u_est, grad_i, it_img, c: int):
+        # Curvature iteration, programs 1/3 of 5: force + rhs for ONE
+        # component. The iteration is split so the spectral intermediates
+        # never coexist with each other or with the force temporaries —
+        # the one-program curvature iteration OOMs a 16 GB chip at
+        # 16384^2 (r9_results.jsonl), and both the L-SSD force and the
+        # DCT are per-plane separable, so each component flows through
+        # rhs -> solve alone at half the residency. Expressions match
+        # lssd_force per component (OpticalFlow.cpp:15-39). u_est is NOT
+        # donated (the convergence error needs it in the finish program).
+        inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
+        return u_est[c] - cfg.tau * (grad_i[c] * inner)
 
-        rhs = u_est - cfg.tau * lssd_force(d, u_est)
-        return rhs[0], rhs[1]
+    def curv_rhs_x(u_est, grad_i, it_img):
+        return _curv_rhs_c(u_est, grad_i, it_img, 0)
+
+    def curv_rhs_y(u_est, grad_i, it_img):
+        return _curv_rhs_c(u_est, grad_i, it_img, 1)
 
     def curv_solve_c(rhs_c):
-        # Programs 2-3 of 4: the spectral solve of ONE component
-        # (donated). Per-plane identical to the 2-channel solve — the
-        # transform matmuls batch over the leading axis.
+        # Programs 2/4 of 5: the spectral solve of ONE component.
+        # Per-plane identical to the 2-channel solve — the transform
+        # matmuls batch over the leading axis.
         from opticalflow2d_tpu.solvers.curvature import make_curvature_solve
 
         solve = make_curvature_solve(*rhs_c.shape, cfg.alpha, cfg.tau,
@@ -642,8 +646,7 @@ def _jitted_stepped(cfg: RegConfig):
         return solve(rhs_c[None])[0]
 
     def curv_finish(u_x, u_y, u_est):
-        # Program 4 of 4: reassemble + Logger error (u_x/u_y/u_est all
-        # donated; the host drops every handle).
+        # Program 5 of 5: reassemble + Logger error.
         u_new = jnp.stack([u_x, u_y])
         return u_new, _rel_step_error(u_new, u_est, up)
 
@@ -784,21 +787,56 @@ def _jitted_stepped(cfg: RegConfig):
         # block, ImageRegistrationFluid.cpp:99-124).
         return _fluid_tail_impl(u_est, prev, r, m)
 
-    def compose_outer(u, u_est):
-        return compose(u, u_est, ho, up)
+    # --- two-pass Mosaic fluid iteration (the 16384^2 path) ---
+    # Buffer donation is dropped by the remote backend, so even the
+    # kernel|tail split above peaks at persistent + vel_new + R + u_new
+    # (~15-16 GB at 16384^2 — the r9 OOM series). These programs never
+    # materialize R: pass A emits (vel_new, maxabs) with R in registers,
+    # pass B recomputes R (bit-equal, same expressions on the same
+    # stored values) and fuses Euler + Logger sums + jacobian min.
+    # Used by the host loop when the shape has a fluid_fused tier.
 
-    def fluid_regrid(u_tot, u_new, imov, iref):
-        # The reference regrid block (ImageRegistrationFluid.cpp:108-124):
-        # fold the estimate into the total, re-warp, re-derive, zero the
-        # estimate — here as its own program at the host boundary.
-        from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
-            stack_derivs,
+    def fluid_gate(m):
+        dt = cfg.dumax / m
+        return jnp.where(dt < cfg.timestep_skip, dt, 0.0).astype(jnp.float32)
+
+    def _fluid_em(u_est, vel, gate, prev=None):
+        from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
+            fluid_euler_metrics_pallas,
         )
 
-        u_tot2 = compose(u_tot, u_new, ho, up)
-        iaux2 = warp2d(imov, u_tot2, ho, up)
-        d2 = derivatives(iref, iaux2)
-        return u_tot2, stack_derivs(d2.grad_i, d2.it)
+        u_new, sums, jac_min = fluid_euler_metrics_pallas(
+            u_est, vel, gate, prev=prev)
+        n_pix = u_est.shape[1] * u_est.shape[2]
+        dn = sums[0] / n_pix
+        pn = sums[1] / n_pix
+        err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+        return u_new, err, jac_min
+
+    def fluid_sweep_max(u_est, vel, g):
+        from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
+            fluid_sweep_max_pallas,
+        )
+
+        return fluid_sweep_max_pallas(
+            u_est, vel, g, cfg.mu, cfg.lam, cfg.omega,
+            cfg.compat.elastic_stencil_reference, cfg.compat.maxabs_bug)
+
+    def fluid_em(u_est, vel, gate):
+        return _fluid_em(u_est, vel, gate)
+
+    def fluid_em_postregrid(u_est, vel, gate, prev):
+        return _fluid_em(u_est, vel, gate, prev)
+
+    def compose_outer(u, u_est):
+        # NOT donated: in the first refinement ``u`` is the caller's own
+        # array (register_phased's u_s, a test's u0) — donating it would
+        # delete a buffer the caller may still hold. The fluid regrid
+        # reuses this program for its compose (ImageRegistrationFluid.
+        # cpp:108-112) and the re-warp/re-derive runs as a second
+        # prederive_stacked program with the stale derivatives freed in
+        # between (one 3 GB plane of slack at 16384^2).
+        return compose(u, u_est, ho, up)
 
     # Donation: at 16384^2 each motion field is 2 GB and the level's HBM
     # residency is the binding constraint (curvature's 16 GB OOM,
@@ -812,9 +850,10 @@ def _jitted_stepped(cfg: RegConfig):
         "prederive_stacked": jax.jit(prederive_stacked),
         "warp_outer": jax.jit(warp_outer),
         "var_step": jax.jit(var_step, donate_argnums=(0,)),
-        "curv_rhs": jax.jit(curv_rhs),
+        "curv_rhs_x": jax.jit(curv_rhs_x),
+        "curv_rhs_y": jax.jit(curv_rhs_y),
         "curv_solve_c": jax.jit(curv_solve_c, donate_argnums=(0,)),
-        "curv_finish": jax.jit(curv_finish, donate_argnums=(0, 1, 2)),
+        "curv_finish": jax.jit(curv_finish, donate_argnums=(0, 1)),
         "demons_corr": jax.jit(demons_corr),
         "demons_maxabs": jax.jit(demons_maxabs),
         "demons_scale": jax.jit(demons_scale, donate_argnums=(0,)),
@@ -824,8 +863,12 @@ def _jitted_stepped(cfg: RegConfig):
         "fluid_tail": jax.jit(fluid_tail, donate_argnums=(0, 1)),
         "fluid_tail_postregrid": jax.jit(fluid_tail_postregrid,
                                          donate_argnums=(0, 2)),
-        "compose_outer": jax.jit(compose_outer, donate_argnums=(0,)),
-        "fluid_regrid": jax.jit(fluid_regrid, donate_argnums=(0,)),
+        "fluid_gate": jax.jit(fluid_gate),
+        "fluid_sweep_max": jax.jit(fluid_sweep_max, donate_argnums=(1,)),
+        "fluid_em": jax.jit(fluid_em, donate_argnums=(0,)),
+        "fluid_em_postregrid": jax.jit(fluid_em_postregrid,
+                                       donate_argnums=(0,)),
+        "compose_outer": jax.jit(compose_outer),
     }
 
 
@@ -845,6 +888,17 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
     demons = cfg.method in (Method.THIRIONS_DEMONS,
                             Method.DIFFEOMORPHIC_DEMONS)
     fluid = cfg.method == Method.FLUID
+    fluid_2pass = False
+    if fluid and cfg.resolved_use_pallas and (
+            cfg.navier_lame_solver == "sor"
+            and cfg.sor_ordering == "redblack"):
+        from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
+            fluid_feasible,
+        )
+
+        # Two Mosaic passes per iteration, R never materialized — the
+        # only structure that fits 16384^2 HBM (see _jitted_stepped).
+        fluid_2pass = fluid_feasible(*u.shape[1:])
 
     traces = []
     velocity = jnp.zeros_like(u) if fluid else None
@@ -890,6 +944,16 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                             c = fns["demons_square"](c)
                 u_new, err = fns["demons_update"](u_est, c)
                 del c
+            elif fluid and fluid_2pass:
+                velocity, m = fns["fluid_sweep_max"](u_est, velocity, g)
+                gate = fns["fluid_gate"](m)
+                if prev_sep is None:
+                    u_new, err, jac_min = fns["fluid_em"](
+                        u_est, velocity, gate)
+                else:
+                    u_new, err, jac_min = fns["fluid_em_postregrid"](
+                        u_est, velocity, gate, prev_sep)
+                    prev_sep = None
             elif fluid:
                 velocity, r_inc, m = fns["fluid_kernel"](u_est, velocity, g)
                 if prev_sep is None:
@@ -900,13 +964,15 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                     prev_sep = None
                 del r_inc
             elif cfg.method == Method.CURVATURE:
-                # Four programs per iteration (rhs | per-component
-                # spectral solves | finish): the split is what fits
-                # curvature in HBM at 16384^2 (see curv_rhs).
-                rhs_x, rhs_y = fns["curv_rhs"](u_est, grad_i, it_img)
-                u_x = fns["curv_solve_c"](rhs_x)
-                u_y = fns["curv_solve_c"](rhs_y)
-                del rhs_x, rhs_y
+                # Five programs per iteration, one component in flight at
+                # a time (rhs_x | solve_x | rhs_y | solve_y | finish):
+                # the split is what fits curvature in HBM at 16384^2
+                # (see _curv_rhs_c).
+                rhs_c = fns["curv_rhs_x"](u_est, grad_i, it_img)
+                u_x = fns["curv_solve_c"](rhs_c)
+                rhs_c = fns["curv_rhs_y"](u_est, grad_i, it_img)
+                u_y = fns["curv_solve_c"](rhs_c)
+                del rhs_c
                 u_new, err = fns["curv_finish"](u_x, u_y, u_est)
                 del u_x, u_y
             else:
@@ -917,8 +983,13 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                 _print_iter(scale, it, err_f)
             conv = (err_f < tol) and (it > 1)
             if fluid and not conv and float(jac_min) < cfg.regrid_threshold:
-                u_tot_level, g = fns["fluid_regrid"](
-                    u_tot_level, u_new, imov, iref)
+                # The reference regrid block (ImageRegistrationFluid.cpp:
+                # 108-124) as two host programs: fold the estimate into
+                # the total, then re-warp + re-derive with the stale
+                # derivatives freed first.
+                u_tot_level = fns["compose_outer"](u_tot_level, u_new)
+                g = None
+                g = fns["prederive_stacked"](imov, u_tot_level, iref)
                 # The Logger prev keeps the pre-regrid estimate
                 # (ImageRegistrationFluid.cpp:99-124).
                 prev_sep = u_new

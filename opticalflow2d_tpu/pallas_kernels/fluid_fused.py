@@ -98,7 +98,8 @@ def _fluid_body(u, vel, g, gi0, nx, vel_ref, r_ref, max_ref, *, mu: float,
     r = v_new - dudx * v_new[0:1] - dudy * v_new[1:2]
 
     vel_ref[:, :, :] = v_new[:, pad:pad + tb, :]
-    r_ref[:, :, :] = r[:, pad:pad + tb, :]
+    if r_ref is not None:
+        r_ref[:, :, :] = r[:, pad:pad + tb, :]
 
     # 4. Per-block max |R|^2 partial (Motion.cpp:51-58 semantics; bug mode
     #    doubles the y component). max is exact under any association, so
@@ -303,3 +304,205 @@ def fluid_iter_strip(u_pad, vel_pad, g_pad, row0, nx_glob, mu: float,
         ],
     )(scal, u_pad, vel_pad, g_pad)
     return vel_new, r, jnp.max(maxp)
+
+
+# ---------------------------------------------------------------------------
+# Huge-grid stepped-fluid kernels (round 5)
+# ---------------------------------------------------------------------------
+#
+# At 16384^2 the three 2 GB tensors of one fluid_iter_pallas call
+# (vel_new + R + the Euler tail's temporaries) cannot coexist with the
+# level's persistent state on a 16 GB chip, and buffer donation is
+# dropped by the remote backend (r9_results.jsonl OOM series). The
+# host-stepped driver therefore runs each iteration as two Mosaic passes
+# that never materialize R in HBM:
+#   A. fluid_sweep_max_pallas: force + SOR sweep + material derivative,
+#      emitting vel_new and ONLY the max-|R|^2 partials (R stays in
+#      registers);
+#   B. fluid_euler_metrics_pallas: recompute R from (u, vel_new) —
+#      bit-equal, same expressions on the same stored values — then the
+#      conditional Euler update, the Logger norm pair, and the
+#      jacobian-det minimum, all in one pass.
+# The timestep gate scalar rides into pass B as a bitcast int32 prefetch
+# (Mosaic scalar prefetch is integer-typed).
+
+
+def _dense_kernel_sweep_max(u_c, u_up, u_dn, v_c, v_up, v_dn, g_c, g_up,
+                            g_dn, vel_ref, max_ref, *, nx, **kw):
+    i = pl.program_id(0)
+    u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
+    vel = jnp.concatenate([v_up[:, :, :], v_c[:, :, :], v_dn[:, :, :]], axis=1)
+    g = jnp.concatenate([g_up[:, :, :], g_c[:, :, :], g_dn[:, :, :]], axis=1)
+    _fluid_body(u, vel, g, i * kw["tb"] - kw["pad"], nx, vel_ref, None,
+                max_ref, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mu", "lam", "omega", "reference_stencil", "maxabs_bug", "tb"))
+def fluid_sweep_max_pallas(u, vel, g, mu: float, lam: float, omega: float,
+                           reference_stencil: bool = True,
+                           maxabs_bug: bool = False, tb: int | None = None):
+    """Pass A of the stepped fluid iteration: ``(u, vel, g) -> (vel_new,
+    maxabs)`` with R never written to HBM (see the section comment).
+    ``maxabs`` is ``sqrt(max |R|^2)`` — bitwise ``motion_maxabs`` of the
+    R that pass B recomputes."""
+    _, nx, ny = u.shape
+    pad = _PAD
+    tb, vmem_limit = _pick_tb(nx, ny, tb)
+    nblocks = nx // tb
+    r_blk = tb // pad
+    last = nx // pad - 1
+    up = lambda i: jnp.maximum(i * r_blk - 1, 0)
+    dn = lambda i: jnp.minimum((i + 1) * r_blk, last)
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((3, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((3, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((3, pad, ny), lambda i: (0, dn(i), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _dense_kernel_sweep_max, mu=mu, lam=lam, omega=omega,
+        reference_stencil=reference_stencil, maxabs_bug=maxabs_bug,
+        tb=tb, pad=pad, nx=nx,
+    )
+    vel_new, maxp = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
+        ],
+    )(u, u, u, vel, vel, vel, g, g, g)
+    return vel_new, jnp.sqrt(jnp.max(maxp))
+
+
+def _euler_metrics_kernel(scal_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
+                          prev_c, out_ref, diff_ref, prev_out_ref, jac_ref,
+                          *, nx, tb, pad):
+    """Pass B: recompute R, conditional Euler update, Logger norm pair vs
+    ``prev_c``, jacobian-det row minima — one extended-tile pass."""
+    i = pl.program_id(0)
+    u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
+    vel = jnp.concatenate([v_up[:, :, :], v_c[:, :, :], v_dn[:, :, :]], axis=1)
+    e = tb + 2 * pad
+    ny = u.shape[-1]
+    gi = lax.broadcasted_iota(jnp.int32, (e, ny), 0) + i * tb - pad
+    gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
+
+    def ddx(f, gidx):
+        nxt = pltpu.roll(f, e - 1, f.ndim - 2)
+        prv = pltpu.roll(f, 1, f.ndim - 2)
+        return jnp.where(gidx == 0, nxt - f,
+                         jnp.where(gidx == nx - 1, f - prv,
+                                   (nxt - prv) * 0.5))
+
+    def ddy(f, gidx):
+        nxt = pltpu.roll(f, ny - 1, f.ndim - 1)
+        prv = pltpu.roll(f, 1, f.ndim - 1)
+        return jnp.where(gidx == 0, nxt - f,
+                         jnp.where(gidx == ny - 1, f - prv,
+                                   (nxt - prv) * 0.5))
+
+    # R from (u, vel) — same expressions as _fluid_body stage 3, on the
+    # same stored values, so bit-equal to pass A's in-register R.
+    dudx = ddx(u, gi[None])
+    dudy = ddy(u, gj[None])
+    r = vel - dudx * vel[0:1] - dudy * vel[1:2]
+
+    # dt gate (where(do_step, dt, 0) precomputed outside; dt > 0 always,
+    # so gate > 0 <=> do_step) as bitcast i32 scalar prefetch.
+    gate = jax.lax.bitcast_convert_type(scal_ref[0], jnp.float32)
+    do_step = gate > 0.0
+    u_new = jnp.where(do_step, u + r * gate, u)
+
+    out_ref[:, :, :] = u_new[:, pad:pad + tb, :]
+
+    # Jacobian-det row minima of u_new (ops.grid.jacobian_det stencil).
+    jac = ((1.0 + ddx(u_new[0], gi)) * (1.0 + ddy(u_new[1], gj))
+           - ddx(u_new[1], gi) * ddy(u_new[0], gj))
+    gi_int = gi[pad:pad + tb, 0:1]
+    valid = (gi_int >= 0) & (gi_int <= nx - 1)
+    jac_int = jnp.where(valid, jac[pad:pad + tb, :], jnp.inf)
+    jac_ref[0, :, :] = jnp.broadcast_to(
+        jnp.min(jac_int, axis=0, keepdims=True), (8, ny))
+
+    # Logger norm pair vs prev (src/Logger.cpp:30-60 semantics).
+    row = lax.broadcasted_iota(jnp.int32, (8, ny), 0)
+    un_i = u_new[:, pad:pad + tb, :]
+    pv = prev_c[:, :, :]
+    d = un_i - pv
+    dmag = jnp.where(valid, jnp.sqrt(d[0] ** 2 + d[1] ** 2), 0.0)
+    pmag = jnp.where(valid, jnp.sqrt(pv[0] ** 2 + pv[1] ** 2), 0.0)
+    diff_ref[0, :, :] = jnp.where(
+        row == 0, jnp.sum(dmag, axis=0, keepdims=True), 0.0)
+    prev_out_ref[0, :, :] = jnp.where(
+        row == 0, jnp.sum(pmag, axis=0, keepdims=True), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def fluid_euler_metrics_pallas(u, vel_new, gate, prev=None,
+                               tb: int | None = None):
+    """Pass B of the stepped fluid iteration: ``(u, vel_new, gate[, prev])
+    -> (u_new, sums [2], jac_min)``. ``gate`` is the f32 scalar
+    ``where(dt < timestep_skip, dt, 0)``; ``prev`` defaults to ``u`` (the
+    Logger prev is the step input except right after a regrid). Values
+    match the jnp chain to the FMA-contraction ulp (the Euler multiply
+    and the det product), structure exactly; sums follow the row-partial
+    scheme of logger_norms_pallas."""
+    _, nx, ny = u.shape
+    pad = _PAD
+    tb, vmem_limit = _pick_tb(nx, ny, tb)
+    nblocks = nx // tb
+    r_blk = tb // pad
+    last = nx // pad - 1
+    up = lambda i: jnp.maximum(i * r_blk - 1, 0)
+    dn = lambda i: jnp.minimum((i + 1) * r_blk, last)
+    if prev is None:
+        prev = u
+    gate_bits = jax.lax.bitcast_convert_type(
+        gate.astype(jnp.float32), jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i, s: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i, s: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i, s: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i, s: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _euler_metrics_kernel, nx=nx, tb=tb, pad=pad)
+    u_new, diff_p, prev_p, jac_p = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        compiler_params=compiler_params(vmem_limit),
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
+            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
+        ],
+    )(gate_bits, u, u, u, vel_new, vel_new, vel_new, prev)
+    sums = jnp.stack([jnp.sum(diff_p), jnp.sum(prev_p)])
+    return u_new, sums, jnp.min(jac_p)

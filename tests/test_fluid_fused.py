@@ -161,3 +161,34 @@ def test_register_fluid_pallas_odd_shape_falls_back():
         got = register(iref, imov, pal)
     np.testing.assert_array_equal(np.asarray(got.motion),
                                   np.asarray(want.motion))
+
+
+def test_fluid_stepped_two_pass_matches_jnp():
+    """The huge-grid two-pass fluid iteration (fluid_sweep_max_pallas +
+    fluid_euler_metrics_pallas — R never materialized) must reproduce
+    the jnp stepped path: same iteration counts, same regrid events
+    (forced via a >1 threshold), values to float tolerance."""
+    import dataclasses
+
+    from opticalflow2d_tpu import Method, RegConfig
+    from opticalflow2d_tpu.engine.registration import _solve_level_stepped
+
+    iref, imov = make_pair(64, 48, shift=(2.0, -1.4))
+    iref = jnp.asarray(iref, jnp.float32)
+    imov = jnp.asarray(imov, jnp.float32)
+    base = RegConfig(method=Method.FLUID, mu=0.25, lam=0.0, niter=(6,),
+                     nscales=0, warp_halo=0, warp_halo_outer=0,
+                     regrid_threshold=0.999, use_pallas=False)
+    u0 = jnp.zeros((2, 64, 48), jnp.float32)
+    u_j, t_j = _solve_level_stepped(u0, iref, imov, base, 6, 0)
+    cfg_p = dataclasses.replace(base, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        u_p, t_p = _solve_level_stepped(u0, iref, imov, cfg_p, 6, 0)
+    assert int(t_p[0].iterations) == int(t_j[0].iterations)
+    assert int(t_p[0].regrids) == int(t_j[0].regrids)
+    assert int(t_j[0].regrids) > 0, "setup failed to trigger a regrid"
+    np.testing.assert_allclose(np.asarray(t_p[0].errors),
+                               np.asarray(t_j[0].errors),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_j),
+                               rtol=1e-4, atol=1e-6)
