@@ -627,7 +627,9 @@ def _jitted_stepped(cfg: RegConfig):
         # lssd_force per component (OpticalFlow.cpp:15-39). u_est is NOT
         # donated (the convergence error needs it in the finish program).
         inner = it_img + u_est[0] * grad_i[0] + u_est[1] * grad_i[1]
-        return u_est[c] - cfg.tau * (grad_i[c] * inner)
+        # emitted as [1, nx, ny] so the phase programs consume it without
+        # a host-side reshape copy
+        return (u_est[c] - cfg.tau * (grad_i[c] * inner))[None]
 
     def curv_rhs_x(u_est, grad_i, it_img):
         return _curv_rhs_c(u_est, grad_i, it_img, 0)
@@ -635,19 +637,28 @@ def _jitted_stepped(cfg: RegConfig):
     def curv_rhs_y(u_est, grad_i, it_img):
         return _curv_rhs_c(u_est, grad_i, it_img, 1)
 
-    def curv_solve_c(rhs_c):
-        # Programs 2/4 of 5: the spectral solve of ONE component.
-        # Per-plane identical to the 2-channel solve — the transform
-        # matmuls batch over the leading axis.
-        from opticalflow2d_tpu.solvers.curvature import make_curvature_solve
+    from opticalflow2d_tpu.solvers.curvature import (
+        make_curvature_solve_phases,
+    )
 
-        solve = make_curvature_solve(*rhs_c.shape, cfg.alpha, cfg.tau,
-                                     cfg.jnp_dtype, cfg.resolved_dct_impl)
-        return solve(rhs_c[None])[0]
+    # The spectral solve of one component as per-axis phase programs
+    # (fwd-y | fwd-x | eig | inv-y | inv-x+scale for the split impls):
+    # even a one-component single-program solve OOMs at 16384^2 — the
+    # transposes, recursion temporaries, and the eigenvalue table must
+    # not coexist (see make_curvature_solve_phases). Each phase donates
+    # its input. Applied on [1, nx, ny] (per-plane identical to the
+    # 2-channel solve — the transform matmuls batch over the leading
+    # axis).
+    curv_phases = tuple(
+        jax.jit(f, donate_argnums=(0,))
+        for f in make_curvature_solve_phases(
+            cfg.alpha, cfg.tau, cfg.jnp_dtype, cfg.resolved_dct_impl)
+    )
 
     def curv_finish(u_x, u_y, u_est):
-        # Program 5 of 5: reassemble + Logger error.
-        u_new = jnp.stack([u_x, u_y])
+        # Final curvature program: reassemble ([1, nx, ny] components)
+        # + Logger error.
+        u_new = jnp.concatenate([u_x, u_y], axis=0)
         return u_new, _rel_step_error(u_new, u_est, up)
 
     # --- split demons programs (dynamic-exp-map diffeo on huge grids) ---
@@ -852,7 +863,7 @@ def _jitted_stepped(cfg: RegConfig):
         "var_step": jax.jit(var_step, donate_argnums=(0,)),
         "curv_rhs_x": jax.jit(curv_rhs_x),
         "curv_rhs_y": jax.jit(curv_rhs_y),
-        "curv_solve_c": jax.jit(curv_solve_c, donate_argnums=(0,)),
+        "curv_phases": curv_phases,
         "curv_finish": jax.jit(curv_finish, donate_argnums=(0, 1)),
         "demons_corr": jax.jit(demons_corr),
         "demons_maxabs": jax.jit(demons_maxabs),
@@ -964,15 +975,20 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                     prev_sep = None
                 del r_inc
             elif cfg.method == Method.CURVATURE:
-                # Five programs per iteration, one component in flight at
-                # a time (rhs_x | solve_x | rhs_y | solve_y | finish):
-                # the split is what fits curvature in HBM at 16384^2
-                # (see _curv_rhs_c).
-                rhs_c = fns["curv_rhs_x"](u_est, grad_i, it_img)
-                u_x = fns["curv_solve_c"](rhs_c)
-                rhs_c = fns["curv_rhs_y"](u_est, grad_i, it_img)
-                u_y = fns["curv_solve_c"](rhs_c)
-                del rhs_c
+                # One component in flight at a time, its spectral solve
+                # phased per axis (rhs_c | fwd-y | fwd-x | eig | inv-y |
+                # inv-x | ... | finish): the splits are what fit
+                # curvature in HBM at 16384^2 (see _curv_rhs_c and
+                # make_curvature_solve_phases).
+                def _solve_component(x):
+                    for ph in fns["curv_phases"]:
+                        x = ph(x)
+                    return x
+
+                u_x = _solve_component(fns["curv_rhs_x"](u_est, grad_i,
+                                                         it_img))
+                u_y = _solve_component(fns["curv_rhs_y"](u_est, grad_i,
+                                                         it_img))
                 u_new, err = fns["curv_finish"](u_x, u_y, u_est)
                 del u_x, u_y
             else:

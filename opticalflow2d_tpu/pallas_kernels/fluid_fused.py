@@ -388,7 +388,7 @@ def fluid_sweep_max_pallas(u, vel, g, mu: float, lam: float, omega: float,
     return vel_new, jnp.sqrt(jnp.max(maxp))
 
 
-def _euler_metrics_kernel(scal_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
+def _euler_metrics_kernel(gate_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
                           prev_c, out_ref, diff_ref, prev_out_ref, jac_ref,
                           *, nx, tb, pad):
     """Pass B: recompute R, conditional Euler update, Logger norm pair vs
@@ -422,10 +422,12 @@ def _euler_metrics_kernel(scal_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
     r = vel - dudx * vel[0:1] - dudy * vel[1:2]
 
     # dt gate (where(do_step, dt, 0) precomputed outside; dt > 0 always,
-    # so gate > 0 <=> do_step) as bitcast i32 scalar prefetch.
-    gate = jax.lax.bitcast_convert_type(scal_ref[0], jnp.float32)
+    # so gate > 0 <=> do_step) arrives as an [8, 128] f32 broadcast tile
+    # (Mosaic's scalar prefetch is integer-typed and rejects a scalar
+    # f32 bitcast); a [1, 1] slice broadcasts against the tile shapes.
+    gate = gate_ref[0:1, 0:1]
     do_step = gate > 0.0
-    u_new = jnp.where(do_step, u + r * gate, u)
+    u_new = jnp.where(do_step[None], u + r * gate[None], u)
 
     out_ref[:, :, :] = u_new[:, pad:pad + tb, :]
 
@@ -471,25 +473,24 @@ def fluid_euler_metrics_pallas(u, vel_new, gate, prev=None,
     dn = lambda i: jnp.minimum((i + 1) * r_blk, last)
     if prev is None:
         prev = u
-    gate_bits = jax.lax.bitcast_convert_type(
-        gate.astype(jnp.float32), jnp.int32).reshape(1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    gate_tile = jnp.full((8, 128), gate, jnp.float32)
+    grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
-            pl.BlockSpec((2, pad, ny), lambda i, s: (0, up(i), 0)),
-            pl.BlockSpec((2, pad, ny), lambda i, s: (0, dn(i), 0)),
-            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
-            pl.BlockSpec((2, pad, ny), lambda i, s: (0, up(i), 0)),
-            pl.BlockSpec((2, pad, ny), lambda i, s: (0, dn(i), 0)),
-            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
+            pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((2, tb, ny), lambda i, s: (0, i, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
         ],
     )
     kernel = functools.partial(
@@ -503,6 +504,6 @@ def fluid_euler_metrics_pallas(u, vel_new, gate, prev=None,
             jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
             jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
         ],
-    )(gate_bits, u, u, u, vel_new, vel_new, vel_new, prev)
+    )(gate_tile, u, u, u, vel_new, vel_new, vel_new, prev)
     sums = jnp.stack([jnp.sum(diff_p), jnp.sum(prev_p)])
     return u_new, sums, jnp.min(jac_p)

@@ -129,3 +129,65 @@ def make_curvature_solve(nx: int, ny: int, alpha: float, tau: float,
         return inv(spec) * scale
 
     return solve
+
+
+def make_curvature_solve_phases(alpha: float, tau: float,
+                                dtype=jnp.float32,
+                                dct_impl: str = "auto"):
+    """The spectral solve as a tuple of SHAPE-AGNOSTIC single-array
+    functions applied in order (``x = ph(x)``), for the huge-grid
+    host-stepped driver: at 16384^2 even the one-component solve's
+    per-axis transposes + recursion temporaries + eigenvalue table
+    exceed HBM when they share one program (r9_results.jsonl), while
+    each phase alone peaks at ~2-3 planes. Composition equals
+    ``make_curvature_solve`` up to program-boundary fusion ulps — the
+    same per-axis matmuls on the same stored values. Shapes are read at
+    trace time, so each phase jits per shape and the device-generated
+    tables stay in-program (the no-giant-constants rule, ops/dct.py).
+
+    Split impls return 5 phases (fwd-y | fwd-x | eig | inv-y | inv-x +
+    scale); non-split impls (compat/parity grade, never used at huge
+    extents) return the whole solve as one phase."""
+    if dct_impl == "auto":
+        dct_impl = "split_high"
+    if not dct_impl.startswith("split"):
+        def solve_whole(a):
+            nc, nx, ny = a.shape
+            return make_curvature_solve(nx, ny, alpha, tau, dtype,
+                                        dct_impl)(a)
+
+        return (solve_whole,)
+
+    from jax import lax
+
+    _PRECS = {"": lax.Precision.HIGHEST, "_high": lax.Precision.HIGH,
+              "_fast": lax.Precision.DEFAULT}
+    prec = _PRECS[dct_impl[len("split"):]]
+    from opticalflow2d_tpu.ops.dct import _split_axis
+
+    def fwd_y(a):
+        return _split_axis(a, -1, effective_split_depth(a.shape[-1]),
+                           prec, False)
+
+    def fwd_x(a):
+        return _split_axis(a, -2, effective_split_depth(a.shape[-2]),
+                           prec, False)
+
+    def eig_mul(a):
+        nx, ny = a.shape[-2], a.shape[-1]
+        px = split_permutation(nx, effective_split_depth(nx))
+        py = split_permutation(ny, effective_split_depth(ny))
+        eig = curvature_eigenvalues(nx, ny, alpha, tau, dtype,
+                                    perm_x=px, perm_y=py)
+        return a * eig[None]
+
+    def inv_y(a):
+        return _split_axis(a, -1, effective_split_depth(a.shape[-1]),
+                           prec, True)
+
+    def inv_x_scale(a):
+        nx, ny = a.shape[-2], a.shape[-1]
+        out = _split_axis(a, -2, effective_split_depth(nx), prec, True)
+        return out * (1.0 / (4.0 * nx * ny))
+
+    return (fwd_y, fwd_x, eig_mul, inv_y, inv_x_scale)
