@@ -74,6 +74,11 @@ def main():
             iters = [int(t.iterations) for t in res.traces]
             regrids = [int(t.regrids) for t in res.traces]
             fallbacks = [int(t.fallbacks) for t in res.traces]
+            # Free the first result before the warm rerun: holding its
+            # 2 GB motion during the second pass pushes the fluid level
+            # past HBM (the r9 bench-only OOM after the probe passed).
+            del res
+            gc.collect()
             t0 = time.perf_counter()
             res = register_phased(iref, imov, cfg)
             float(jnp.sum(res.motion))

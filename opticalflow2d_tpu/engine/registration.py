@@ -811,18 +811,24 @@ def _jitted_stepped(cfg: RegConfig):
         dt = cfg.dumax / m
         return jnp.where(dt < cfg.timestep_skip, dt, 0.0).astype(jnp.float32)
 
-    def _fluid_em(u_est, vel, gate, prev=None):
+    def fluid_euler(u_est, vel, gate):
         from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
-            fluid_euler_metrics_pallas,
+            fluid_euler_pallas,
         )
 
-        u_new, sums, jac_min = fluid_euler_metrics_pallas(
-            u_est, vel, gate, prev=prev)
-        n_pix = u_est.shape[1] * u_est.shape[2]
+        return fluid_euler_pallas(u_est, vel, gate)
+
+    def _fluid_metrics(u_new, prev):
+        from opticalflow2d_tpu.pallas_kernels.logger_norms import (
+            fluid_metrics_pallas,
+        )
+
+        sums, jac_min = fluid_metrics_pallas(u_new, prev)
+        n_pix = u_new.shape[1] * u_new.shape[2]
         dn = sums[0] / n_pix
         pn = sums[1] / n_pix
         err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
-        return u_new, err, jac_min
+        return err, jac_min
 
     def fluid_sweep_max(u_est, vel, g):
         from opticalflow2d_tpu.pallas_kernels.fluid_fused import (
@@ -833,11 +839,8 @@ def _jitted_stepped(cfg: RegConfig):
             u_est, vel, g, cfg.mu, cfg.lam, cfg.omega,
             cfg.compat.elastic_stencil_reference, cfg.compat.maxabs_bug)
 
-    def fluid_em(u_est, vel, gate):
-        return _fluid_em(u_est, vel, gate)
-
-    def fluid_em_postregrid(u_est, vel, gate, prev):
-        return _fluid_em(u_est, vel, gate, prev)
+    def fluid_metrics(u_new, prev):
+        return _fluid_metrics(u_new, prev)
 
     def compose_outer(u, u_est):
         # NOT donated: in the first refinement ``u`` is the caller's own
@@ -876,9 +879,8 @@ def _jitted_stepped(cfg: RegConfig):
                                          donate_argnums=(0, 2)),
         "fluid_gate": jax.jit(fluid_gate),
         "fluid_sweep_max": jax.jit(fluid_sweep_max, donate_argnums=(1,)),
-        "fluid_em": jax.jit(fluid_em, donate_argnums=(0,)),
-        "fluid_em_postregrid": jax.jit(fluid_em_postregrid,
-                                       donate_argnums=(0,)),
+        "fluid_euler": jax.jit(fluid_euler),
+        "fluid_metrics": jax.jit(fluid_metrics),
         "compose_outer": jax.jit(compose_outer),
     }
 
@@ -956,14 +958,24 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                 u_new, err = fns["demons_update"](u_est, c)
                 del c
             elif fluid and fluid_2pass:
+                # Three Mosaic passes: sweep+max | Euler | metrics — the
+                # combined Euler+metrics kernel exceeds the remote
+                # compiler's complexity budget at 16384 lanes (r9 probe).
                 velocity, m = fns["fluid_sweep_max"](u_est, velocity, g)
+                # Barrier: with async dispatch the whole iteration's
+                # programs go in flight together, so the retired velocity
+                # buffer coexists with vel_new + u_new + the partials —
+                # 16 GB at 16384^2 (the r9 fluid OOM-after-compile).
+                # Forcing the max scalar here lets the old buffer free
+                # before the Euler pass dispatches; the gate itself stays
+                # the device-computed f32 (bit-identical trajectory).
+                float(m)
                 gate = fns["fluid_gate"](m)
+                u_new = fns["fluid_euler"](u_est, velocity, gate)
                 if prev_sep is None:
-                    u_new, err, jac_min = fns["fluid_em"](
-                        u_est, velocity, gate)
+                    err, jac_min = fns["fluid_metrics"](u_new, u_est)
                 else:
-                    u_new, err, jac_min = fns["fluid_em_postregrid"](
-                        u_est, velocity, gate, prev_sep)
+                    err, jac_min = fns["fluid_metrics"](u_new, prev_sep)
                     prev_sep = None
             elif fluid:
                 velocity, r_inc, m = fns["fluid_kernel"](u_est, velocity, g)
@@ -1016,6 +1028,15 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
             if conv:
                 break
 
+        # Refinement-scope inputs are dead before the level compose —
+        # free them first (g alone is 3 GB at 16384^2; the compose OOM'd
+        # stacked on it, r9 fluid traceback).
+        if demons:
+            iaux = None
+        elif fluid:
+            g = None
+        else:
+            grad_i = it_img = None
         u = fns["compose_outer"](u_tot_level if fluid else u, u_est)
         traces.append(LevelTrace(
             jnp.int32(scale),

@@ -319,12 +319,15 @@ def fluid_iter_strip(u_pad, vel_pad, g_pad, row0, nx_glob, mu: float,
 #   A. fluid_sweep_max_pallas: force + SOR sweep + material derivative,
 #      emitting vel_new and ONLY the max-|R|^2 partials (R stays in
 #      registers);
-#   B. fluid_euler_metrics_pallas: recompute R from (u, vel_new) —
-#      bit-equal, same expressions on the same stored values — then the
-#      conditional Euler update, the Logger norm pair, and the
-#      jacobian-det minimum, all in one pass.
-# The timestep gate scalar rides into pass B as a bitcast int32 prefetch
-# (Mosaic scalar prefetch is integer-typed).
+#   B. fluid_euler_pallas: recompute R from (u, vel_new) — bit-equal,
+#      same expressions on the same stored values — then the conditional
+#      Euler update;
+#   C. logger_norms.fluid_metrics_pallas: Logger norm pair + jacobian
+#      minimum (a combined Euler+metrics kernel exceeded the remote
+#      Mosaic compiler's complexity budget at 16384 lanes — HTTP 500,
+#      r9 probe — so B and C stay separate).
+# The timestep gate rides into pass B as an [8, 128] f32 broadcast tile
+# (Mosaic's scalar prefetch is integer-typed).
 
 
 def _dense_kernel_sweep_max(u_c, u_up, u_dn, v_c, v_up, v_dn, g_c, g_up,
@@ -388,11 +391,13 @@ def fluid_sweep_max_pallas(u, vel, g, mu: float, lam: float, omega: float,
     return vel_new, jnp.sqrt(jnp.max(maxp))
 
 
-def _euler_metrics_kernel(gate_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
-                          prev_c, out_ref, diff_ref, prev_out_ref, jac_ref,
-                          *, nx, tb, pad):
-    """Pass B: recompute R, conditional Euler update, Logger norm pair vs
-    ``prev_c``, jacobian-det row minima — one extended-tile pass."""
+def _euler_kernel(gate_ref, u_c, u_up, u_dn, v_c, v_up, v_dn, out_ref,
+                  *, nx, tb, pad):
+    """Euler-only pass: recompute R from (u, vel_new) and apply the gated
+    update. Exists because the combined Euler+metrics kernel exceeds the
+    remote Mosaic compiler's complexity budget at 16384 lanes (HTTP 500,
+    r9 probe) — the Logger sums + jacobian min run as the separate
+    ``logger_norms.fluid_metrics_pallas`` pass instead."""
     i = pl.program_id(0)
     u = jnp.concatenate([u_up[:, :, :], u_c[:, :, :], u_dn[:, :, :]], axis=1)
     vel = jnp.concatenate([v_up[:, :, :], v_c[:, :, :], v_dn[:, :, :]], axis=1)
@@ -401,68 +406,30 @@ def _euler_metrics_kernel(gate_ref, u_c, u_up, u_dn, v_c, v_up, v_dn,
     gi = lax.broadcasted_iota(jnp.int32, (e, ny), 0) + i * tb - pad
     gj = lax.broadcasted_iota(jnp.int32, (e, ny), 1)
 
-    def ddx(f, gidx):
-        nxt = pltpu.roll(f, e - 1, f.ndim - 2)
-        prv = pltpu.roll(f, 1, f.ndim - 2)
-        return jnp.where(gidx == 0, nxt - f,
-                         jnp.where(gidx == nx - 1, f - prv,
-                                   (nxt - prv) * 0.5))
-
-    def ddy(f, gidx):
-        nxt = pltpu.roll(f, ny - 1, f.ndim - 1)
-        prv = pltpu.roll(f, 1, f.ndim - 1)
-        return jnp.where(gidx == 0, nxt - f,
-                         jnp.where(gidx == ny - 1, f - prv,
-                                   (nxt - prv) * 0.5))
-
-    # R from (u, vel) — same expressions as _fluid_body stage 3, on the
-    # same stored values, so bit-equal to pass A's in-register R.
-    dudx = ddx(u, gi[None])
-    dudy = ddy(u, gj[None])
+    nxt = pltpu.roll(u, e - 1, 1)
+    prv = pltpu.roll(u, 1, 1)
+    dudx = jnp.where(gi[None] == 0, nxt - u,
+                     jnp.where(gi[None] == nx - 1, u - prv,
+                               (nxt - prv) * 0.5))
+    nyt = pltpu.roll(u, ny - 1, 2)
+    pvy = pltpu.roll(u, 1, 2)
+    dudy = jnp.where(gj[None] == 0, nyt - u,
+                     jnp.where(gj[None] == ny - 1, u - pvy,
+                               (nyt - pvy) * 0.5))
     r = vel - dudx * vel[0:1] - dudy * vel[1:2]
 
-    # dt gate (where(do_step, dt, 0) precomputed outside; dt > 0 always,
-    # so gate > 0 <=> do_step) arrives as an [8, 128] f32 broadcast tile
-    # (Mosaic's scalar prefetch is integer-typed and rejects a scalar
-    # f32 bitcast); a [1, 1] slice broadcasts against the tile shapes.
     gate = gate_ref[0:1, 0:1]
     do_step = gate > 0.0
     u_new = jnp.where(do_step[None], u + r * gate[None], u)
-
     out_ref[:, :, :] = u_new[:, pad:pad + tb, :]
-
-    # Jacobian-det row minima of u_new (ops.grid.jacobian_det stencil).
-    jac = ((1.0 + ddx(u_new[0], gi)) * (1.0 + ddy(u_new[1], gj))
-           - ddx(u_new[1], gi) * ddy(u_new[0], gj))
-    gi_int = gi[pad:pad + tb, 0:1]
-    valid = (gi_int >= 0) & (gi_int <= nx - 1)
-    jac_int = jnp.where(valid, jac[pad:pad + tb, :], jnp.inf)
-    jac_ref[0, :, :] = jnp.broadcast_to(
-        jnp.min(jac_int, axis=0, keepdims=True), (8, ny))
-
-    # Logger norm pair vs prev (src/Logger.cpp:30-60 semantics).
-    row = lax.broadcasted_iota(jnp.int32, (8, ny), 0)
-    un_i = u_new[:, pad:pad + tb, :]
-    pv = prev_c[:, :, :]
-    d = un_i - pv
-    dmag = jnp.where(valid, jnp.sqrt(d[0] ** 2 + d[1] ** 2), 0.0)
-    pmag = jnp.where(valid, jnp.sqrt(pv[0] ** 2 + pv[1] ** 2), 0.0)
-    diff_ref[0, :, :] = jnp.where(
-        row == 0, jnp.sum(dmag, axis=0, keepdims=True), 0.0)
-    prev_out_ref[0, :, :] = jnp.where(
-        row == 0, jnp.sum(pmag, axis=0, keepdims=True), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
-def fluid_euler_metrics_pallas(u, vel_new, gate, prev=None,
-                               tb: int | None = None):
-    """Pass B of the stepped fluid iteration: ``(u, vel_new, gate[, prev])
-    -> (u_new, sums [2], jac_min)``. ``gate`` is the f32 scalar
-    ``where(dt < timestep_skip, dt, 0)``; ``prev`` defaults to ``u`` (the
-    Logger prev is the step input except right after a regrid). Values
-    match the jnp chain to the FMA-contraction ulp (the Euler multiply
-    and the det product), structure exactly; sums follow the row-partial
-    scheme of logger_norms_pallas."""
+def fluid_euler_pallas(u, vel_new, gate, tb: int | None = None):
+    """``(u, vel_new, gate) -> u_new``: the stepped fluid iteration's
+    Euler pass with R recomputed in registers (bit-equal to pass A's R —
+    same expressions on the same stored values). ``gate`` is
+    ``where(dt < timestep_skip, dt, 0)``."""
     _, nx, ny = u.shape
     pad = _PAD
     tb, vmem_limit = _pick_tb(nx, ny, tb)
@@ -471,39 +438,26 @@ def fluid_euler_metrics_pallas(u, vel_new, gate, prev=None,
     last = nx // pad - 1
     up = lambda i: jnp.maximum(i * r_blk - 1, 0)
     dn = lambda i: jnp.minimum((i + 1) * r_blk, last)
-    if prev is None:
-        prev = u
-    gate_tile = jnp.full((8, 128), gate, jnp.float32)
+    # Full-lane gate tile: a narrower (8, 128) side input alongside
+    # 16384-lane blocks crashed the remote Mosaic compile (r9 probe);
+    # matching the lane extent compiles.
+    gate_tile = jnp.full((8, ny), gate, jnp.float32)
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, ny), lambda i: (0, 0)),
             pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
             pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
             pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
             pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
             pl.BlockSpec((2, pad, ny), lambda i: (0, up(i), 0)),
             pl.BlockSpec((2, pad, ny), lambda i: (0, dn(i), 0)),
-            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 8, ny), lambda i: (i, 0, 0)),
-        ],
+        out_specs=pl.BlockSpec((2, tb, ny), lambda i: (0, i, 0)),
     )
-    kernel = functools.partial(
-        _euler_metrics_kernel, nx=nx, tb=tb, pad=pad)
-    u_new, diff_p, prev_p, jac_p = pl.pallas_call(
+    kernel = functools.partial(_euler_kernel, nx=nx, tb=tb, pad=pad)
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         compiler_params=compiler_params(vmem_limit),
-        out_shape=[
-            jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
-            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
-            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
-            jax.ShapeDtypeStruct((nblocks, 8, ny), u.dtype),
-        ],
-    )(gate_tile, u, u, u, vel_new, vel_new, vel_new, prev)
-    sums = jnp.stack([jnp.sum(diff_p), jnp.sum(prev_p)])
-    return u_new, sums, jnp.min(jac_p)
+        out_shape=jax.ShapeDtypeStruct((2, nx, ny), u.dtype),
+    )(gate_tile, u, u, u, vel_new, vel_new, vel_new)

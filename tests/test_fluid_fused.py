@@ -164,8 +164,9 @@ def test_register_fluid_pallas_odd_shape_falls_back():
 
 
 def test_fluid_stepped_two_pass_matches_jnp():
-    """The huge-grid two-pass fluid iteration (fluid_sweep_max_pallas +
-    fluid_euler_metrics_pallas — R never materialized) must reproduce
+    """The huge-grid multi-pass fluid iteration (fluid_sweep_max_pallas
+    + fluid_euler_pallas + fluid_metrics_pallas — R never materialized)
+    must reproduce
     the jnp stepped path: same iteration counts, same regrid events
     (forced via a >1 threshold), values to float tolerance."""
     import dataclasses
