@@ -57,6 +57,10 @@ from opticalflow2d_tpu.solvers.demons import make_demons_step
 # and match their recorded rows; the crash starts at 16384.
 _DERIV_BARRIER_MIN_EXTENT = 8192
 
+# Output-row chunks for the host-chunked exact-gather outer warp of the
+# stepped fluid driver (see _jitted_stepped.warp_outer_chunk).
+_WARP_CHUNKS = 8
+
 
 def _loop_invariant_derivs(d: Derivatives) -> Derivatives:
     """Fence the per-refinement derivatives from the iteration loop past
@@ -602,6 +606,40 @@ def _jitted_stepped(cfg: RegConfig):
         d = derivatives(iref, iaux)
         return stack_derivs(d.grad_i, d.it)
 
+    def warp_outer_chunk(acc, imov, u, r0):
+        # One output-row chunk of the exact-gather outer warp, ``r0``
+        # traced (one compilation serves every chunk). Huge grids with an
+        # outer halo past the Pallas gather tiers would otherwise run the
+        # whole-plane exact gather inside one program — ~8 GB of
+        # index/tap temporaries, the r9 strong-pair fluid OOM. Same
+        # expressions as warp2d's exact path.
+        chunk = acc.shape[0] // _WARP_CHUNKS
+        nxg, nyg = imov.shape
+        u_rows = lax.dynamic_slice(u, (0, r0, 0), (2, chunk, u.shape[2]))
+        gi = (lax.broadcasted_iota(jnp.float32, (chunk, nyg), 0)
+              + r0.astype(jnp.float32))
+        gj = lax.broadcasted_iota(jnp.float32, (chunk, nyg), 1)
+        px = gi + u_rows[0]
+        py = gj + u_rows[1]
+        from opticalflow2d_tpu.ops.warp import (
+            _bilinear_from_taps, _gather_taps_exact)
+
+        value, weight, in_b = _bilinear_from_taps(
+            imov[None], px, py, _gather_taps_exact)
+        ok = in_b & (weight != 0)
+        safe_w = jnp.where(weight != 0, weight, 1.0)
+        imov_rows = lax.dynamic_slice(imov, (r0, 0), (chunk, nyg))
+        rows = jnp.where(ok, value[0] / safe_w, imov_rows)
+        return lax.dynamic_update_slice(acc, rows, (r0, 0))
+
+    def derive_stack(iref, iaux):
+        from opticalflow2d_tpu.pallas_kernels.diffusion_block import (
+            stack_derivs,
+        )
+
+        d = derivatives(iref, iaux)
+        return stack_derivs(d.grad_i, d.it)
+
     def warp_outer(imov, u):
         return warp2d(imov, u, ho, up)
 
@@ -862,6 +900,8 @@ def _jitted_stepped(cfg: RegConfig):
     return {
         "prederive": jax.jit(prederive),
         "prederive_stacked": jax.jit(prederive_stacked),
+        "warp_outer_chunk": jax.jit(warp_outer_chunk, donate_argnums=(0,)),
+        "derive_stack": jax.jit(derive_stack),
         "warp_outer": jax.jit(warp_outer),
         "var_step": jax.jit(var_step, donate_argnums=(0,)),
         "curv_rhs_x": jax.jit(curv_rhs_x),
@@ -883,6 +923,19 @@ def _jitted_stepped(cfg: RegConfig):
         "fluid_metrics": jax.jit(fluid_metrics),
         "compose_outer": jax.jit(compose_outer),
     }
+
+
+def _fluid_g_chunked(fns, imov, u_tot, iref):
+    """Host-chunked outer warp + derivative stack for huge fluid levels
+    (see _jitted_stepped.warp_outer_chunk): one exact-gather program per
+    output-row chunk, then the derivative/stack program. Values equal
+    prederive_stacked's exact-gather path (same expressions)."""
+    nx = imov.shape[0]
+    chunk = nx // _WARP_CHUNKS
+    iaux = jnp.zeros_like(imov)
+    for r0 in range(0, nx, chunk):
+        iaux = fns["warp_outer_chunk"](iaux, imov, u_tot, jnp.int32(r0))
+    return fns["derive_stack"](iref, iaux)
 
 
 def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
@@ -926,7 +979,10 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                     imov[None], pxo, pyo, cfg.warp_halo_outer))
             iaux = fns["warp_outer"](imov, u)
         elif fluid:
-            g = fns["prederive_stacked"](imov, u, iref)
+            if fluid_2pass and max(u.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT:
+                g = _fluid_g_chunked(fns, imov, u, iref)
+            else:
+                g = fns["prederive_stacked"](imov, u, iref)
         else:
             iaux, grad_i, it_img = fns["prederive"](imov, u, iref)
             del iaux  # only the derivatives are consumed; frees a plane
@@ -1017,7 +1073,11 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                 # derivatives freed first.
                 u_tot_level = fns["compose_outer"](u_tot_level, u_new)
                 g = None
-                g = fns["prederive_stacked"](imov, u_tot_level, iref)
+                if (fluid_2pass
+                        and max(u_new.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT):
+                    g = _fluid_g_chunked(fns, imov, u_tot_level, iref)
+                else:
+                    g = fns["prederive_stacked"](imov, u_tot_level, iref)
                 # The Logger prev keeps the pre-regrid estimate
                 # (ImageRegistrationFluid.cpp:99-124).
                 prev_sep = u_new
