@@ -240,7 +240,9 @@ def test_pick_tiles_and_invalid_raise():
     assert _pick_tiles(2048, 8, None, ny=2048) == (64, 8, 32 * MB)
     # Error sums add reduction scratch -> their own tier (48M @2048):
     # measured 76.5 (k8) / 83.5 (k16) us/iter vs 119-123 for the
-    # single-step fallback.
+    # single-step fallback. (An r9 short-loop sweep briefly suggested
+    # tb=64 for k=16; the back-to-back long-loop A/B refuted it —
+    # RESULTS.md r9 Logger-tax section — so 128 stands.)
     assert _pick_tiles(2048, 16, None, ny=2048, with_errors=True) \
         == (128, 16, 48 * MB)
     assert _pick_tiles(2048, 8, None, ny=2048, with_errors=True) \
