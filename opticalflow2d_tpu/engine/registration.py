@@ -925,17 +925,24 @@ def _jitted_stepped(cfg: RegConfig):
     }
 
 
-def _fluid_g_chunked(fns, imov, u_tot, iref):
-    """Host-chunked outer warp + derivative stack for huge fluid levels
-    (see _jitted_stepped.warp_outer_chunk): one exact-gather program per
-    output-row chunk, then the derivative/stack program. Values equal
-    prederive_stacked's exact-gather path (same expressions)."""
+def _warp_outer_chunked(fns, imov, u_tot):
+    """Host-chunked exact-gather outer warp for huge stepped levels (see
+    _jitted_stepped.warp_outer_chunk): one program per output-row chunk.
+    Values equal warp2d's exact-gather path (same expressions) — the
+    outer halo at these extents has no Pallas gather tier, and the
+    whole-plane exact gather's ~8 GB of index/tap temporaries do not fit
+    next to the level state."""
     nx = imov.shape[0]
     chunk = nx // _WARP_CHUNKS
     iaux = jnp.zeros_like(imov)
     for r0 in range(0, nx, chunk):
         iaux = fns["warp_outer_chunk"](iaux, imov, u_tot, jnp.int32(r0))
-    return fns["derive_stack"](iref, iaux)
+    return iaux
+
+
+def _fluid_g_chunked(fns, imov, u_tot, iref):
+    """Chunked warp + derivative stack for huge fluid levels."""
+    return fns["derive_stack"](iref, _warp_outer_chunked(fns, imov, u_tot))
 
 
 def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
@@ -972,6 +979,18 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
         errs = np.zeros((niter,), np.float64)
         nregrid = 0
         nfb = 0
+        # Fluid at huge extents uses the CHUNKED outer warp: its level
+        # carries velocity + prestacked derivatives, and the whole-plane
+        # exact gather's ~8 GB of temporaries do not fit next to that
+        # (r9 strong-pair OOM). Curvature/demons fit the whole-plane
+        # gather and it is ~3x faster end-to-end (r9: curvature warm
+        # 18.6 s whole-plane vs 51.6 chunked), so they keep it. The
+        # chunked path needs equal chunks (dynamic_slice CLAMPS
+        # out-of-range starts while the chunk's coordinate iota does
+        # not), hence the divisibility gate.
+        fluid_chunked = (fluid
+                         and max(u.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT
+                         and u.shape[1] % _WARP_CHUNKS == 0)
         if demons:
             if cfg.warp_halo_outer > 0:
                 pxo, pyo = _sample_coords(u)
@@ -979,7 +998,7 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                     imov[None], pxo, pyo, cfg.warp_halo_outer))
             iaux = fns["warp_outer"](imov, u)
         elif fluid:
-            if fluid_2pass and max(u.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT:
+            if fluid_chunked:
                 g = _fluid_g_chunked(fns, imov, u, iref)
             else:
                 g = fns["prederive_stacked"](imov, u, iref)
@@ -1073,8 +1092,7 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                 # derivatives freed first.
                 u_tot_level = fns["compose_outer"](u_tot_level, u_new)
                 g = None
-                if (fluid_2pass
-                        and max(u_new.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT):
+                if fluid_chunked:
                     g = _fluid_g_chunked(fns, imov, u_tot_level, iref)
                 else:
                     g = fns["prederive_stacked"](imov, u_tot_level, iref)
