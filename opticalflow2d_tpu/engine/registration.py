@@ -739,17 +739,47 @@ def _jitted_stepped(cfg: RegConfig):
     def demons_square(v):
         return compose(v, v, cfg.warp_halo, up)
 
+    def _demons_accumulate(u_est, c):
+        diffeo = cfg.method == Method.DIFFEOMORPHIC_DEMONS
+        if diffeo or cfg.accumulation == MotionAccumulation.COMPOSITION:
+            return compose(u_est, c, cfg.warp_halo, up)
+        return u_est + c
+
     def demons_update(u_est, c):
         from opticalflow2d_tpu.ops.conv import gaussian_smooth
         from opticalflow2d_tpu.solvers.demons import logger_sums
 
-        diffeo = cfg.method == Method.DIFFEOMORPHIC_DEMONS
-        if diffeo or cfg.accumulation == MotionAccumulation.COMPOSITION:
-            u_new = compose(u_est, c, cfg.warp_halo, up)
-        else:
-            u_new = u_est + c
+        u_new = _demons_accumulate(u_est, c)
         u_new = gaussian_smooth(u_new, cfg.sigma_diffusion, cfg.kernelwidth,
                                 flatwrap=cfg.compat.conv_flatwrap)
+        sums = logger_sums(u_new, u_est, up)
+        n_pix = u_est.shape[1] * u_est.shape[2]
+        dn = sums[0] / n_pix
+        pn = sums[1] / n_pix
+        err = jnp.where(pn == 0, 0.0, dn / jnp.where(pn == 0, 1.0, pn))
+        return u_new, err
+
+    # Split update for huge extents: accumulate, per-component diffusion
+    # smooth, then the Logger program — the whole-plane smooth's
+    # separable-pass temporaries on [2, 16384, 16384] do not fit next to
+    # the level state (the r9 dynamic-diffeo OOM). Per-component
+    # smoothing is expression-identical (the conv operates on trailing
+    # axes).
+
+    def demons_compose_split(u_est, c):
+        uc = _demons_accumulate(u_est, c)
+        return uc[0:1], uc[1:2]
+
+    def demons_smooth_c(x):
+        from opticalflow2d_tpu.ops.conv import gaussian_smooth
+
+        return gaussian_smooth(x, cfg.sigma_diffusion, cfg.kernelwidth,
+                               flatwrap=cfg.compat.conv_flatwrap)
+
+    def demons_finish(u_x, u_y, u_est):
+        from opticalflow2d_tpu.solvers.demons import logger_sums
+
+        u_new = jnp.concatenate([u_x, u_y], axis=0)
         sums = logger_sums(u_new, u_est, up)
         n_pix = u_est.shape[1] * u_est.shape[2]
         dn = sums[0] / n_pix
@@ -913,6 +943,9 @@ def _jitted_stepped(cfg: RegConfig):
         "demons_scale": jax.jit(demons_scale, donate_argnums=(0,)),
         "demons_square": jax.jit(demons_square, donate_argnums=(0,)),
         "demons_update": jax.jit(demons_update, donate_argnums=(0, 1)),
+        "demons_compose_split": jax.jit(demons_compose_split),
+        "demons_smooth_c": jax.jit(demons_smooth_c, donate_argnums=(0,)),
+        "demons_finish": jax.jit(demons_finish, donate_argnums=(0, 1)),
         "fluid_kernel": jax.jit(fluid_kernel, donate_argnums=(1,)),
         "fluid_tail": jax.jit(fluid_tail, donate_argnums=(0, 1)),
         "fluid_tail_postregrid": jax.jit(fluid_tail_postregrid,
@@ -996,7 +1029,16 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                 pxo, pyo = _sample_coords(u)
                 nfb += int(~_displacement_bounded(
                     imov[None], pxo, pyo, cfg.warp_halo_outer))
-            iaux = fns["warp_outer"](imov, u)
+                del pxo, pyo
+            if (max(u.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT
+                    and u.shape[1] % _WARP_CHUNKS == 0):
+                # The whole-plane exact-gather refinement warp (the outer
+                # halo has no Pallas tier at this extent) leaves the heap
+                # fragmented enough that the dynamic-exp-map iteration
+                # programs OOM later (r9 dyn16k series) — chunk it.
+                iaux = _warp_outer_chunked(fns, imov, u)
+            else:
+                iaux = fns["warp_outer"](imov, u)
         elif fluid:
             if fluid_chunked:
                 g = _fluid_g_chunked(fns, imov, u, iref)
@@ -1027,11 +1069,38 @@ def _solve_level_stepped(u, iref, imov, cfg: RegConfig, niter: int,
                     nsq = (max(0, _m.ceil(1.0 + _m.log2(mval)))
                            if mval > 0 else 0)
                     if nsq > 0:
+                        barrier = (max(c.shape[1:])
+                                   > _DERIV_BARRIER_MIN_EXTENT)
                         c = fns["demons_scale"](c, 2.0 ** -nsq)
+                        if barrier:
+                            float(jnp.sum(c[0, 0, :8]))
                         for _sq in range(nsq):
                             c = fns["demons_square"](c)
-                u_new, err = fns["demons_update"](u_est, c)
-                del c
+                            if barrier:
+                                # At 16384^2 each enqueued squaring
+                                # pre-allocates a 2 GB output before the
+                                # previous one's input can free — the
+                                # async stacking that OOM'd the dynamic
+                                # path (r9); one tiny scalar readback per
+                                # program serializes the chain.
+                                float(jnp.sum(c[0, 0, :8]))
+                if max(c.shape[1:]) > _DERIV_BARRIER_MIN_EXTENT:
+                    # Split update (see demons_compose_split); barriers
+                    # keep one 2 GB output in flight at a time.
+                    c_x, c_y = fns["demons_compose_split"](u_est, c)
+                    del c
+                    float(jnp.sum(c_x[0, 0, :8]))
+                    u_x = fns["demons_smooth_c"](c_x)
+                    del c_x
+                    float(jnp.sum(u_x[0, 0, :8]))
+                    u_y = fns["demons_smooth_c"](c_y)
+                    del c_y
+                    float(jnp.sum(u_y[0, 0, :8]))
+                    u_new, err = fns["demons_finish"](u_x, u_y, u_est)
+                    del u_x, u_y
+                else:
+                    u_new, err = fns["demons_update"](u_est, c)
+                    del c
             elif fluid and fluid_2pass:
                 # Three Mosaic passes: sweep+max | Euler | metrics — the
                 # combined Euler+metrics kernel exceeds the remote
