@@ -1432,15 +1432,15 @@ def register_phased(iref, imov, cfg: RegConfig,
     derivative computation or a sqrt-norm reduction with the iteration
     while_loop crashes the remote TPU compile toolchain (r8 probe
     series, benchmarks/RESULTS.md r8 "16384^2"). With the production
-    defaults (``use_pallas`` on), diffusion and elastic ride the
-    temporal-blocked kernels, whose Logger error sums are computed
-    IN-KERNEL — no XLA norm in the loop — and are the validated
-    16384^2 path (25 iters in 484 ms). The jnp/non-blocked families
-    (curvature, fluid, demons, or ``use_pallas=False``) still evaluate
-    ``motion_norm`` inside their loops and remain subject to the
-    toolchain bug at 16384; below that extent ``register_phased``
-    works for every family and simply trades one big compile for a few
-    small ones.
+    defaults (``use_pallas`` on) ALL SIX families reach 16384^2
+    (round 5, RESULTS.md "16384^2 closed"): diffusion/elastic ride the
+    temporal-blocked kernels and Thirion + identity-regime diffeo the
+    one-pass kernel — Logger sums IN-KERNEL, no XLA norm in the loop —
+    while curvature, fluid, and dynamic-exp-map diffeo run their levels
+    HOST-STEPPED past 8192 lanes (``_solve_level_stepped``: one program
+    per iteration, splits sized by the HBM residency arithmetic). Below
+    that extent ``register_phased`` works for every family and simply
+    trades one big compile for a few small ones.
     """
     iref = jnp.asarray(iref, cfg.jnp_dtype)
     imov = jnp.asarray(imov, cfg.jnp_dtype)
